@@ -28,8 +28,8 @@ def test_ca_code_properties():
     table = gps_l1ca.code_table()
     assert table.shape == (32, 1023)
     assert set(np.unique(table)) == {-1, 1}
-    # Balance: Gold codes have 512 ones / 511 zeros (in ±1: sum == -1).
-    assert np.all(table.sum(axis=1) == -1)
+    # Balance: Gold codes have 512 ones / 511 zeros (+1 == binary 1).
+    assert np.all(table.sum(axis=1) == 1)
     # Cross-correlation of distinct Gold codes is bounded by 65/1023.
     c1, c2 = table[0].astype(np.int64), table[5].astype(np.int64)
     xc = np.fft.ifft(np.fft.fft(c1) * np.conj(np.fft.fft(c2))).real

@@ -1,0 +1,81 @@
+"""Cold-start acquisition: FFT code-phase x Doppler search over all PRNs.
+
+Host-facing wrapper around gnsstpu.ops.fft_acquire, reproducing the
+reference's detection logic (GPS/L1/acquisition.sci:45-192): two alternating
+coherent windows, peak / second-peak ratio against a threshold, and the
+(code phase [samples], carrier frequency [Hz]) handoff to tracking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gnsstpu.config import AcqConfig, SignalConfig
+from gnsstpu.ops import fft_acquire
+from gnsstpu.signals.registry import get_signal
+
+
+@dataclasses.dataclass
+class AcqResults:
+    """Per-PRN acquisition outcome (index 0 = PRN 1)."""
+
+    peak_metric: np.ndarray   # [P] peak/second-peak ratio
+    code_phase: np.ndarray    # [P] samples (0-based offset of code start)
+    carr_freq: np.ndarray     # [P] acquired carrier frequency [Hz]
+    detected: np.ndarray      # [P] bool
+
+    def detected_prns(self) -> list:
+        return [int(p) + 1 for p in np.nonzero(self.detected)[0]]
+
+
+def acquire(samples: np.ndarray, sig: SignalConfig, acq: AcqConfig,
+            sharding: Optional[object] = None) -> AcqResults:
+    """Search all PRNs of sig.signal in the leading samples.
+
+    Args:
+      samples: complex64 [>= 2*coherent_ms*samples_per_code].
+      sharding: optional jax sharding for the Doppler axis (multi-chip).
+    """
+    sd = get_signal(sig.signal)
+    spc = sig.samples_per_code
+    L = acq.coherent_ms * spc
+    if samples.shape[0] < 2 * L:
+        raise ValueError(
+            f"need >= {2 * L} samples for {acq.coherent_ms} ms coherent x2"
+        )
+    blocks = jnp.asarray(samples[: 2 * L].reshape(2, L), jnp.complex64)
+
+    code_fd = jnp.asarray(fft_acquire.code_fd_table(
+        sig.signal, sig.fs, sig.code_freq, sig.code_length, acq.coherent_ms))
+    dopp = fft_acquire.doppler_grid(
+        sig.if_freq, acq.doppler_band, acq.doppler_bin_step())
+    dopp_dev = jnp.asarray(dopp, jnp.float32)
+    if sharding is not None:
+        import jax
+        dopp_dev = jax.device_put(dopp_dev, sharding)
+
+    cube = fft_acquire.acquire_cube(
+        blocks, code_fd, dopp_dev, sig.fs, combine="max")
+    spchip = round(sig.fs / sig.code_freq)
+    m = fft_acquire.peak_metrics(
+        cube, samples_per_code=spc, samples_per_chip=spchip)
+
+    metric = np.asarray(m["metric"])
+    code_phase = np.asarray(m["code_phase"])
+    best_bin = np.asarray(m["doppler_bin"])
+    if acq.prn_list is not None:
+        allowed = np.zeros(sd.num_prn, bool)
+        allowed[[p - 1 for p in acq.prn_list]] = True
+    else:
+        allowed = np.ones(sd.num_prn, bool)
+    detected = (metric > acq.threshold) & allowed
+    return AcqResults(
+        peak_metric=metric,
+        code_phase=code_phase,
+        carr_freq=dopp[best_bin],
+        detected=detected,
+    )

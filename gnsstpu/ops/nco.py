@@ -1,0 +1,60 @@
+"""Integer numerically-controlled oscillators (NCOs).
+
+The reference's hardware-style correlators accumulate carrier/code phase in
+32-bit integer registers (osgnss correlator.c 32-bit carrier/code NCOs;
+namuru rtl/carrier_nco.v, rtl/code_nco.v). We keep exactly that idea on TPU:
+phase lives in uint32 "cycles/2^32" units, advanced by an integer step per
+sample. uint32 multiply-accumulate wraps mod 2^32, which *is* the phase wrap —
+bit-exact, branch-free, and fp32-noise-free over arbitrarily long runs.
+
+Float carrier frequencies are always split as (base + delta): the large base
+step is quantized once on the host in float64; only the small loop-filter
+delta is converted on device, so fp32 never rounds a multi-MHz value.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TWO_PI = 2.0 * np.pi
+# Phase LSB in cycles: 2^-32.
+_PHASE_SCALE = np.float32(TWO_PI / 4294967296.0)
+
+
+def freq_to_step_u32(freq_hz: float, fs: float) -> np.uint32:
+    """Host-side: exact uint32 NCO step for a static frequency."""
+    cycles_per_sample = float(freq_hz) / float(fs) % 1.0
+    return np.uint32(np.round(cycles_per_sample * 4294967296.0))
+
+
+def delta_freq_to_step_i32(delta_hz, fs: float):
+    """Device-side: signed NCO step for a small frequency delta (traced f32).
+
+    Valid for |delta_hz| << fs; fp32 rounding here is ~1e-3 Hz at |delta|<8kHz.
+    """
+    return jnp.round(delta_hz * (4294967296.0 / fs)).astype(jnp.int32)
+
+
+def carrier_ramp_u32(phase_u32, step_u32, n: int):
+    """Phase ramp: phase_u32 + k*step for k=0..n-1, uint32 wrap semantics.
+
+    Returns (phases [n] uint32, final_phase scalar uint32 = phase + n*step).
+    """
+    k = jnp.arange(n, dtype=jnp.uint32)
+    phases = phase_u32 + k * step_u32
+    final = phase_u32 + jnp.uint32(n) * step_u32
+    return phases, final
+
+
+def phase_u32_to_angle(phase_u32):
+    """uint32 phase → radians in [0, 2π) as float32."""
+    return phase_u32.astype(jnp.float32) * _PHASE_SCALE
+
+
+def complex_lo(phase_u32):
+    """Local oscillator exp(+i·angle) from integer phase (matches the
+    reference's carrsig = exp(i·trigarg), tracking.sci:276)."""
+    ang = phase_u32_to_angle(phase_u32)
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))

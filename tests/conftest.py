@@ -2,13 +2,21 @@
 
 Multi-chip hardware is not available in CI; sharding tests run against
 XLA's host-platform device partitioning instead (same SPMD partitioner).
+
+Note: the environment pre-imports jax (sitecustomize) and exports
+JAX_PLATFORMS=axon, so plain env vars are too late — we must go through
+jax.config before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

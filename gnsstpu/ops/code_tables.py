@@ -22,16 +22,16 @@ def sampled_code_table(signal: str, fs: float, code_freq: float,
                        code_length: int) -> np.ndarray:
     """All PRN codes sampled at fs over one code period.
 
-    Sample k holds the chip active at time k/fs: chip index
-    ceil((k+1)*code_freq/fs) - 1 (the reference's 1-based
-    ceil(ts*(1:n)/tc) with the final index clamped, makeCaTable.sci).
+    Sample k holds the chip active at instant k/fs: chip index
+    floor(k*code_freq/fs). (Same role as the reference's makeCaTable.sci,
+    but point-sampled at interval starts rather than its interval-end ceil
+    — see gnsstpu.ops.correlate for the convention note.)
     Returns ±1 int8 [num_prn, samples_per_code].
     """
     sd = get_signal(signal)
     spc = round(fs * code_length / code_freq)
-    k = np.arange(1, spc + 1, dtype=np.float64)
-    idx = np.ceil(k * code_freq / fs).astype(np.int64) - 1
-    idx[-1] = code_length - 1
+    k = np.arange(spc, dtype=np.float64)
+    idx = np.floor(k * code_freq / fs).astype(np.int64)
     idx = np.clip(idx, 0, code_length - 1)
     rows = [sd.code_fn(prn)[idx] for prn in range(1, sd.num_prn + 1)]
     return np.stack(rows).astype(np.int8)

@@ -120,12 +120,15 @@ def correlate_block(
     k = jnp.arange(blkmax, dtype=f32)
     mask = (jnp.arange(blkmax, dtype=jnp.int32) < blksize).astype(f32)
 
-    # E/P/L fractional-phase chip indices: ceil(t) + 1 into the padded code
-    # (tracking.sci:244-262 semantics, 0-based).
+    # E/P/L fractional-phase chip indices: floor(t) + 1 into the padded code.
+    # Same structure as the reference (tracking.sci:244-262) but with
+    # point-sampling at the start of each sample interval (floor) rather
+    # than SoftGNSS's interval-end ceil — floor matches a physically
+    # point-sampled front end and our simulator exactly.
     t_p = state.rem_code_phase + k * step
     codes = []
     for off in (-spacing, 0.0, spacing):
-        idx = jnp.ceil(t_p + f32(off)).astype(jnp.int32) + 1
+        idx = jnp.floor(t_p + f32(off)).astype(jnp.int32) + 1
         idx = jnp.clip(idx, 0, code_length + 1)
         codes.append(jnp.take(padded_code, idx).astype(f32))
     code_mat = jnp.stack(codes)                      # [3, blkmax]

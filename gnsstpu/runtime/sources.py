@@ -1,0 +1,117 @@
+"""Sample sources: the host feed into the device pipeline.
+
+Replaces the reference's GPS_Source / FIFO fabric
+(objects/gps_source.cpp:135-944, objects/fifo.cpp) and the Scilab
+mopen/mget file reads (postProcessing.sce:60, tracking.sci:224) with a
+simple random-access read(start, count) protocol; the tracking driver
+prefetches chunk windows to the device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Protocol
+
+import numpy as np
+
+from gnsstpu.config import SignalConfig
+
+
+class SampleSource(Protocol):
+    def read(self, start: int, count: int) -> np.ndarray:
+        """Return complex64 [count] samples; zero-pad past the end."""
+        ...
+
+    def __len__(self) -> int: ...
+
+
+class ArraySource:
+    """In-memory source over a complex64 array."""
+
+    def __init__(self, samples: np.ndarray):
+        self.samples = np.asarray(samples, np.complex64)
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        out = np.zeros(count, np.complex64)
+        lo = max(start, 0)
+        hi = min(start + count, len(self.samples))
+        if hi > lo:
+            out[lo - start: hi - start] = self.samples[lo:hi]
+        return out
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+
+class FileSource:
+    """Raw IF sample file source.
+
+    Formats (reference initSettings.sci fileType / defines.h):
+      'i8_iq'  — interleaved signed 8-bit I,Q pairs (fileType 2)
+      'i8'     — signed 8-bit real samples (fileType 1)
+      'i16_iq' — interleaved signed 16-bit I,Q
+      'c64'    — raw complex64
+    """
+
+    _ITEM = {"i8_iq": (np.int8, 2), "i8": (np.int8, 1),
+             "i16_iq": (np.int16, 2), "c64": (np.complex64, 1)}
+
+    def __init__(self, path: str, fmt: str = "i8_iq", skip_samples: int = 0):
+        if fmt not in self._ITEM:
+            raise ValueError(f"unknown format {fmt!r}")
+        self.path = path
+        self.fmt = fmt
+        self.skip = skip_samples
+        dtype, per = self._ITEM[fmt]
+        self._dtype, self._per = dtype, per
+        self._bytes_per_sample = np.dtype(dtype).itemsize * per
+        self._n = os.path.getsize(path) // self._bytes_per_sample - skip_samples
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        start += self.skip
+        raw = np.fromfile(
+            self.path, dtype=self._dtype,
+            count=count * self._per,
+            offset=start * self._bytes_per_sample)
+        n = len(raw) // self._per
+        out = np.zeros(count, np.complex64)
+        if self._per == 2:
+            out[:n] = raw[: 2 * n : 2].astype(np.float32) \
+                + 1j * raw[1 : 2 * n : 2].astype(np.float32)
+        else:
+            out[:n] = raw[:n].astype(np.float32)
+        return out
+
+    def __len__(self) -> int:
+        return self._n
+
+
+class SimSource:
+    """Streaming source over an IFSimulator with block caching."""
+
+    def __init__(self, sim, n_ms: int):
+        self.sim = sim
+        self.n_ms = n_ms
+        self.block = sim.block_samples
+        self._cache_ms0 = -1
+        self._cache = None
+        self._cache_len_ms = 0
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        ms0 = start // self.block
+        ms1 = min((start + count - 1) // self.block + 1, self.n_ms)
+        if not (self._cache_ms0 <= ms0 and
+                ms1 <= self._cache_ms0 + self._cache_len_ms):
+            gen_ms0 = ms0
+            gen_len = max(ms1 - ms0, min(self.n_ms - ms0, 256))
+            self._cache = self.sim.generate(gen_len, gen_ms0)
+            self._cache_ms0 = gen_ms0
+            self._cache_len_ms = gen_len
+        off = start - self._cache_ms0 * self.block
+        out = np.zeros(count, np.complex64)
+        avail = self._cache[max(off, 0): off + count]
+        out[max(-off, 0): max(-off, 0) + len(avail)] = avail
+        return out
+
+    def __len__(self) -> int:
+        return self.n_ms * self.block

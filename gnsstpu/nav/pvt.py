@@ -1,0 +1,177 @@
+"""Pseudoranges + least-squares PVT solution.
+
+Reference semantics:
+  - relative pseudoranges from absolute sample indices:
+    GPS/L1/calculatePseudoranges.sci:51-74 (min-travel-time rebase +
+    startOffset), C++ twin objects/pvt.cpp:759-810.
+  - LSQ with Sagnac (e_r_corr), elevation-dependent tropo, DOP:
+    GPS/L1/geoFunctions/leastSquarePos.sci:4-70, objects/pvt.cpp:972-1060.
+  - epoch orchestration: GPS/L1/postNavigation.sci:40-303 (500 ms epochs,
+    elevation mask, transmitTime advance).
+
+Host-side float64 NumPy, vectorized over satellites.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from gnsstpu.config import SPEED_OF_LIGHT, NavConfig, SignalConfig
+from gnsstpu.nav import geodesy
+from gnsstpu.nav.orbits import satpos
+from gnsstpu.nav.types import Ephemeris
+
+
+def calculate_pseudoranges(abs_sample: np.ndarray, ms_of_signal: np.ndarray,
+                           samples_per_code: float,
+                           start_offset_ms: float) -> np.ndarray:
+    """Relative pseudoranges [m] at per-channel measurement milliseconds.
+
+    abs_sample: [C, n_ms] absolute sample index of each code start.
+    ms_of_signal: [C] int measurement epoch per channel.
+    (calculatePseudoranges.sci:51-74: travel time in code periods, rebased
+    to the earliest channel + startOffset, scaled by c/1000.)
+    """
+    C = abs_sample.shape[0]
+    travel = np.array([abs_sample[c, ms_of_signal[c]] / samples_per_code
+                       for c in range(C)], np.float64)
+    travel = travel - np.floor(travel.min()) + start_offset_ms
+    return travel * (SPEED_OF_LIGHT / 1000.0)
+
+
+@dataclasses.dataclass
+class LsqSolution:
+    pos: np.ndarray       # [4] ECEF x, y, z [m] + receiver clock bias [m]
+    el: np.ndarray        # [S] deg
+    az: np.ndarray        # [S] deg
+    dop: np.ndarray       # [5] GDOP PDOP HDOP VDOP TDOP
+    residuals: np.ndarray  # [S] post-fit [m]
+    ok: bool = True
+
+
+def least_square_pos(sat_pos: np.ndarray, obs: np.ndarray,
+                     use_tropo: bool = True, iterations: int = 7
+                     ) -> LsqSolution:
+    """Iterative LSQ receiver position (leastSquarePos.sci:4-70).
+
+    sat_pos: [S, 3] ECEF at transmit time; obs: [S] pseudoranges [m]
+    (already satellite-clock corrected).
+    """
+    S = sat_pos.shape[0]
+    pos = np.zeros(4)
+    az = np.zeros(S)
+    el = np.zeros(S)
+    A = np.zeros((S, 4))
+    omc = np.zeros(S)
+    trop = np.full(S, 2.0)
+    rot_x = sat_pos.copy()
+    for it in range(iterations):
+        if it > 0:
+            rho = np.linalg.norm(sat_pos - pos[:3], axis=1)
+            rot_x = geodesy.e_r_corr(rho / SPEED_OF_LIGHT, sat_pos)
+            az, el, _ = geodesy.topocent(pos[:3], rot_x - pos[:3])
+            if use_tropo:
+                trop = geodesy.tropo(np.sin(np.radians(el)))
+            else:
+                trop = np.zeros(S)
+        rng = np.linalg.norm(rot_x - pos[:3], axis=1)
+        omc = obs - rng - pos[3] - trop
+        A[:, :3] = -(rot_x - pos[:3]) / obs[:, None]
+        A[:, 3] = 1.0
+        if np.linalg.matrix_rank(A) != 4:
+            return LsqSolution(np.zeros(4), el, az, np.zeros(5), omc,
+                               ok=False)
+        dx, *_ = np.linalg.lstsq(A, omc, rcond=None)
+        pos = pos + dx
+    q = np.linalg.inv(A.T @ A)
+    dop = np.array([
+        np.sqrt(np.trace(q)),
+        np.sqrt(q[0, 0] + q[1, 1] + q[2, 2]),
+        np.sqrt(q[0, 0] + q[1, 1]),
+        np.sqrt(q[2, 2]),
+        np.sqrt(q[3, 3]),
+    ])
+    resid = obs - np.linalg.norm(rot_x - pos[:3], axis=1) - pos[3] - trop
+    return LsqSolution(pos, el, az, dop, resid)
+
+
+@dataclasses.dataclass
+class NavSolutions:
+    """Per-epoch navigation solutions (the navSolutions struct,
+    postNavigation.sci:154-280)."""
+
+    t_ms: np.ndarray          # [E] epoch time in stream ms
+    x: np.ndarray             # [E] ECEF
+    y: np.ndarray
+    z: np.ndarray
+    dt: np.ndarray            # [E] receiver clock bias [m]
+    latitude: np.ndarray      # [E] deg
+    longitude: np.ndarray     # [E] deg
+    height: np.ndarray        # [E] m
+    utm_e: np.ndarray
+    utm_n: np.ndarray
+    utm_u: np.ndarray
+    dop: np.ndarray           # [E, 5]
+    n_sats: np.ndarray        # [E]
+    valid: np.ndarray         # [E] bool
+
+
+def navigate(abs_sample: np.ndarray, prns: Sequence[int],
+             subframe_start_ms: Sequence[int], tow_s: float,
+             ephs: Dict[int, Ephemeris], sig: SignalConfig,
+             nav: NavConfig, n_ms: int) -> NavSolutions:
+    """Epoch loop: pseudoranges -> satpos -> LSQ (postNavigation.sci:154+).
+
+    abs_sample: [C, n_ms] from TrackResults (channels in `prns` order).
+    subframe_start_ms: per-channel ms of the first decoded subframe start.
+    tow_s: TOW at that subframe start (same for all channels by GPS time).
+    """
+    C = len(prns)
+    sf = np.asarray(subframe_start_ms, np.int64)
+    have_eph = np.array([p in ephs and ephs[p].valid for p in prns])
+    sat_elev = np.full(C, np.inf)
+    spc = sig.samples_per_code
+    n_epochs = int((n_ms - sf.max()) // nav.sol_period_ms)
+    E = n_epochs
+    out = NavSolutions(
+        t_ms=np.zeros(E), x=np.zeros(E), y=np.zeros(E), z=np.zeros(E),
+        dt=np.zeros(E), latitude=np.zeros(E), longitude=np.zeros(E),
+        height=np.zeros(E), utm_e=np.zeros(E), utm_n=np.zeros(E),
+        utm_u=np.zeros(E), dop=np.zeros((E, 5)), n_sats=np.zeros(E, int),
+        valid=np.zeros(E, bool),
+    )
+    transmit_time = tow_s
+    utm_zone: Optional[int] = None
+    for k in range(n_epochs):
+        active = np.nonzero(have_eph & (sat_elev >= nav.elevation_mask_deg)
+                            )[0]
+        out.t_ms[k] = sf.max() + k * nav.sol_period_ms
+        out.n_sats[k] = len(active)
+        if len(active) < 4:
+            continue
+        ms_meas = sf + k * nav.sol_period_ms
+        raw_p = calculate_pseudoranges(
+            abs_sample[active], ms_meas[active], spc, nav.start_offset_ms)
+        sat_p, sat_clk = satpos(transmit_time,
+                                [ephs[prns[c]] for c in active])
+        sol = least_square_pos(sat_p, raw_p + sat_clk * SPEED_OF_LIGHT,
+                               use_tropo=nav.use_tropo,
+                               iterations=nav.lsq_iterations)
+        if not sol.ok:
+            continue
+        sat_elev = np.full(C, -np.inf)
+        sat_elev[active] = sol.el
+        out.x[k], out.y[k], out.z[k], out.dt[k] = sol.pos
+        out.dop[k] = sol.dop
+        lat, lon, h = geodesy.cart2geo(*sol.pos[:3], 5)
+        out.latitude[k], out.longitude[k], out.height[k] = lat, lon, h
+        if utm_zone is None:
+            utm_zone = geodesy.find_utm_zone(lat, lon)
+        out.utm_e[k], out.utm_n[k], out.utm_u[k] = geodesy.cart2utm(
+            *sol.pos[:3], utm_zone)
+        out.valid[k] = True
+        transmit_time += nav.sol_period_ms / 1000.0
+    return out

@@ -1,0 +1,96 @@
+"""Geometry-consistent simulation scenarios.
+
+Builds IFSimulator satellite parameters (delay, Doppler, Doppler rate, nav
+bits) from broadcast ephemerides and a receiver position, so the simulated
+stream is consistent end-to-end: acquisition -> tracking -> LNAV decode ->
+pseudoranges -> least-squares must recover the configured receiver
+position. This generalizes the reference's fixture-by-construction
+simulator (GNSS_SOFTWARE_SIMULATORS/.../glonass_l3_generator.sce, which
+fabricates Doppler/code-phase truth without orbit geometry) to full PVT
+truth.
+
+Timing model (see also pvt.navigate):
+  - stream time s=0 corresponds to true receive time tow0 - lead_s;
+  - each SV's subframe boundary (SV clock reading tow0) arrives at stream
+    time lead_s + tau_i - clk_i (geometric delay minus SV clock offset);
+  - delay evolution over the run is fit quadratically and realized through
+    the simulator's coherent carrier-Doppler/code-rate model.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from gnsstpu.config import SPEED_OF_LIGHT, SignalConfig
+from gnsstpu.nav import geodesy, lnav
+from gnsstpu.nav.orbits import satpos
+from gnsstpu.nav.types import Ephemeris
+from gnsstpu.sim.generator import SatParams
+from gnsstpu.signals.registry import get_signal
+
+
+def signal_delay(eph: Ephemeris, recv_ecef: np.ndarray, t_receive: float,
+                 ) -> float:
+    """Geometric signal delay tau [s] for reception at true time t_receive.
+
+    Fixed-point in emission time with Sagnac frame rotation (the forward
+    model of leastSquarePos.sci's e_r_corr iteration).
+    """
+    tau = 0.075
+    for _ in range(12):
+        pos, _ = satpos(t_receive - tau, [eph])
+        rot = geodesy.e_r_corr(np.array([tau]), pos)[0]
+        tau = float(np.linalg.norm(rot - recv_ecef) / SPEED_OF_LIGHT)
+    return tau
+
+
+def build_scenario(sig: SignalConfig, ephs: Dict[int, Ephemeris],
+                   recv_ecef: np.ndarray, tow0_6s: int,
+                   duration_s: float, lead_s: float = 2.0,
+                   cn0_dbhz: float = 47.0,
+                   n_subframes: int = 10) -> List[SatParams]:
+    """SatParams for each PRN in ephs, geometry-consistent.
+
+    tow0_6s: truncated TOW (6 s units) of the first encoded subframe.
+    lead_s: filler-bit seconds before the first subframe (must cover the
+    tracking pull-in transient; multiple of 0.02).
+    """
+    sd = get_signal(sig.signal)
+    bit_s = sd.bit_len_codes * sig.code_period_s
+    n_lead = int(round(lead_s / bit_s))
+    if abs(n_lead * bit_s - lead_s) > 1e-9:
+        raise ValueError("lead_s must be a whole number of bit periods")
+    tow0 = tow0_6s * 6.0
+    rng = np.random.default_rng(tow0_6s)
+    sats = []
+    T = duration_s
+    for prn, eph in sorted(ephs.items()):
+        _, clk = satpos(tow0, [eph])
+        clk = float(clk[0])
+        # Quadratic fit of the delay over the run: tau(s), s = stream time,
+        # true receive time = tow0 - lead_s + s.
+        t_r0 = tow0 - lead_s
+        tau0 = signal_delay(eph, recv_ecef, t_r0)
+        tau1 = signal_delay(eph, recv_ecef, t_r0 + T / 2)
+        tau2 = signal_delay(eph, recv_ecef, t_r0 + T)
+        taud = (4 * tau1 - 3 * tau0 - tau2) / T
+        taudd = 2 * (tau2 - 2 * tau1 + tau0) / (T * T)
+
+        f_carr = sd.carrier_freq(prn)
+        filler = rng.choice([-1.0, 1.0], size=n_lead)
+        filler[-2:] = 1.0
+        bits = np.concatenate([
+            filler,
+            lnav.encode_frames(eph, tow0=tow0_6s, n_subframes=n_subframes)])
+        sats.append(SatParams(
+            prn=prn,
+            doppler_hz=-f_carr * taud,
+            doppler_rate=-f_carr * taudd,
+            code_phase_chips=(tau0 - clk) * sig.code_freq,
+            carrier_phase=float(rng.uniform(0, 2 * np.pi)),
+            cn0_dbhz=cn0_dbhz,
+            nav_bits=bits,
+        ))
+    return sats

@@ -1,0 +1,58 @@
+"""Device-mesh sharding for the receiver's two big parallel axes.
+
+The reference parallelizes with 10 pthreads + SIMD on one box
+(SURVEY.md §2.8); the TPU framework instead shards over a jax mesh:
+
+  * "channel" axis — tracking channels (SVs) are embarrassingly parallel
+    (DP-analogue): state pytree leaves and code tables shard on their
+    leading [C] dim; the sample chunk is replicated; zero collectives in
+    the steady-state scan.
+  * "doppler" axis — acquisition's (PRN x Doppler x code-phase) search
+    cube shards over Doppler bins and PRNs (TP-analogue); XLA inserts the
+    argmax/max collectives for peak_metrics automatically.
+
+Everything goes through jit + NamedSharding (GSPMD): we annotate inputs,
+XLA partitions the program and places collectives on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_sizes: Sequence[Tuple[str, int]],
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a Mesh, e.g. make_mesh([("channel", 2), ("doppler", 4)])."""
+    names = tuple(n for n, _ in axis_sizes)
+    shape = tuple(s for _, s in axis_sizes)
+    n = int(np.prod(shape))
+    devices = list(devices if devices is not None else jax.devices())[:n]
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(shape), names)
+
+
+def shard_channel_state(state, codes, mesh: Mesh, axis: str = "channel"):
+    """Place tracking state ([C]-leaved pytree) + code table [C, L+2] with
+    the channel dim sharded over `axis`; C must divide by the axis size."""
+    s_state = NamedSharding(mesh, P(axis))
+    state = jax.tree.map(lambda x: jax.device_put(x, s_state), state)
+    codes = jax.device_put(codes, NamedSharding(mesh, P(axis, None)))
+    return state, codes
+
+
+def shard_acquisition_inputs(blocks, code_fd, doppler, mesh: Mesh,
+                             prn_axis: str = "channel",
+                             doppler_axis: str = "doppler"):
+    """Place acquisition inputs: blocks replicated, code_fd sharded over
+    PRNs, Doppler grid sharded over bins."""
+    blocks = jax.device_put(blocks, NamedSharding(mesh, P()))
+    code_fd = jax.device_put(
+        code_fd, NamedSharding(mesh, P(prn_axis, None)))
+    doppler = jax.device_put(
+        doppler, NamedSharding(mesh, P(doppler_axis)))
+    return blocks, code_fd, doppler

@@ -1,0 +1,97 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+Checks (SURVEY.md §4 test plan item d): sharded multi-device execution is
+bit-identical to single-device execution for both acquisition and
+tracking.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnsstpu.config import AcqConfig, SignalConfig, TrackConfig
+from gnsstpu.ops import code_tables, fft_acquire
+from gnsstpu.parallel import (make_mesh, shard_acquisition_inputs,
+                              shard_channel_state)
+from gnsstpu.sim import IFSimulator, SatParams
+from gnsstpu.tracking import scan as tscan
+
+SIG = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+@pytest.fixture(scope="module")
+def sim_samples():
+    sats = [SatParams(prn=p, doppler_hz=500.0 * p, code_phase_chips=31.0 * p,
+                      cn0_dbhz=46.0) for p in (3, 9, 17, 25)]
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=5)
+    return sats, sim.generate(40)
+
+
+def test_sharded_acquisition_matches_single_device(sim_samples):
+    sats, samples = sim_samples
+    acq = AcqConfig(doppler_band=7e3, coherent_ms=2, threshold=2.5,
+                    doppler_step=500.0)
+    spc = SIG.samples_per_code
+    L = acq.coherent_ms * spc
+    blocks = jnp.asarray(samples[:2 * L].reshape(2, L))
+    code_fd = jnp.asarray(fft_acquire.code_fd_table(
+        SIG.signal, SIG.fs, SIG.code_freq, SIG.code_length, acq.coherent_ms))
+    dopp = jnp.asarray(fft_acquire.doppler_grid(
+        0.0, acq.doppler_band, 500.0), jnp.float32)
+    # 15 bins -> pad to 16 for an even shard over 4 doppler devices.
+    dopp = jnp.concatenate([dopp, dopp[-1:] + 500.0])
+
+    ref_cube = fft_acquire.acquire_cube(blocks, code_fd, dopp, SIG.fs)
+    ref = fft_acquire.peak_metrics(
+        ref_cube, samples_per_code=spc,
+        samples_per_chip=round(SIG.fs / SIG.code_freq))
+
+    mesh = make_mesh([("channel", 2), ("doppler", 4)])
+    b_s, c_s, d_s = shard_acquisition_inputs(blocks, code_fd, dopp, mesh)
+    cube = fft_acquire.acquire_cube(b_s, c_s, d_s, SIG.fs)
+    got = fft_acquire.peak_metrics(
+        cube, samples_per_code=spc,
+        samples_per_chip=round(SIG.fs / SIG.code_freq))
+
+    assert np.array_equal(np.asarray(got["code_phase"]),
+                          np.asarray(ref["code_phase"]))
+    assert np.array_equal(np.asarray(got["doppler_bin"]),
+                          np.asarray(ref["doppler_bin"]))
+    np.testing.assert_allclose(np.asarray(got["metric"]),
+                               np.asarray(ref["metric"]), rtol=1e-5)
+
+
+def test_sharded_tracking_matches_single_device(sim_samples):
+    sats, samples = sim_samples
+    trk = TrackConfig(dll_bw=1.0)
+    spchip = SIG.fs / SIG.code_freq
+    # 8 channels (2 per simulated SV) so the channel axis shards evenly.
+    prns = [s.prn for s in sats] * 2
+    cps = [int(round(s.code_phase_chips * spchip)) for s in sats] * 2
+    dops = [s.doppler_hz + 25.0 for s in sats] * 2
+
+    padded = code_tables.padded_code_table(SIG.signal)
+    codes = jnp.asarray(
+        np.stack([padded[p - 1] for p in prns]).astype(np.float32))
+    n_blocks = 8
+    tracker = tscan.make_tracker(SIG, trk, n_blocks=n_blocks)
+    chunk = jnp.asarray(samples[: (n_blocks + 2) * SIG.samples_per_code])
+
+    state0 = tscan.TrackState.init(np.array(cps), np.array(dops, np.float32))
+    ref_state, ref_out = tracker(chunk, codes, state0)
+
+    mesh = make_mesh([("channel", 4), ("doppler", 2)])
+    st_s, codes_s = shard_channel_state(state0, codes, mesh)
+    chunk_s = jax.device_put(
+        chunk, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+    got_state, got_out = tracker(chunk_s, codes_s, st_s)
+
+    for a, b in zip(jax.tree.leaves(ref_out), jax.tree.leaves(got_out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref_state), jax.tree.leaves(got_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -49,6 +49,8 @@ def main():
     state = tscan.TrackState.init(
         np.array([int(round(s.code_phase_chips * spchip)) for s in sats]),
         np.array([s.doppler_hz + 30.0 for s in sats], np.float32))
+    cb, ia = tscan.channel_consts(sig, trk, prns)
+    consts = (jnp.asarray(cb), jnp.asarray(ia))
 
     tracker = tscan.make_tracker(sig, trk, n_blocks=chunk_ms)
 
@@ -58,7 +60,7 @@ def main():
         st = st._replace(corr=st.corr._replace(
             sample_pos=jnp.minimum(st.corr.sample_pos
                                    - st.corr.sample_pos.min(), 2)))
-        return tracker(chunk, codes, st)
+        return tracker(chunk, codes, consts, st)
 
     # Warmup/compile.
     state, out = step(state)

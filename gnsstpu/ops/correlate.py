@@ -67,13 +67,13 @@ class BlockOut(NamedTuple):
 def correlate_block(
     chunk: jax.Array,
     padded_code: jax.Array,
+    base_carr_step_u32: jax.Array,
     state: CorrState,
     *,
     blkmax: int,
     spacing: float,
     code_length: int,
     base_code_step: float,
-    base_carr_step_u32: int,
     inv_fs: float,
 ):
     """Correlate one code period starting at state.sample_pos.
@@ -81,13 +81,17 @@ def correlate_block(
     Args:
       chunk: complex64 [N] IF samples (shared across channels).
       padded_code: f32/int8 [code_length + 2] (see code_tables.padded_code_table).
+      base_carr_step_u32: uint32 scalar carrier NCO step at this channel's
+        nominal carrier (exact, computed on host; per-channel so FDMA
+        signals — GLONASS L1/L2, reference GLONASS/L1/initSettings.sci
+        L1_IF_step — keep full NCO precision with only a small f32
+        Doppler delta on top).
       state: CorrState scalars for this channel.
       blkmax: static max block length in samples.
       spacing: early-late offset [chips].
       code_length: chips per code period.
       base_code_step: code chips per sample at nominal code frequency (f64→f32
         once, on host).
-      base_carr_step_u32: uint32 carrier NCO step at the nominal IF (host-exact).
       inv_fs: 1/fs.
 
     Returns (BlockOut, new CorrState) — loop-filter deltas are untouched;
@@ -105,7 +109,7 @@ def correlate_block(
     # tracking.sci:276-281 — sign convention here is standard complex
     # baseband: signal carrier exp(+i*theta), LO exp(-i*theta).)
     carr_step = (
-        jnp.uint32(base_carr_step_u32)
+        base_carr_step_u32.astype(jnp.uint32)
         + nco.delta_freq_to_step_i32(state.carr_delta, 1.0 / inv_fs).astype(
             jnp.uint32
         )

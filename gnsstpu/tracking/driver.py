@@ -29,7 +29,10 @@ class ChannelInit:
 
     prn: int
     code_phase: int      # samples, 0-based offset of code start in the stream
-    doppler_hz: float    # acquired carrier frequency minus IF
+    doppler_hz: float    # acquired carrier frequency minus this channel's IF
+    # FDMA carrier offset from sig.if_freq [Hz] (0 for CDMA; GLONASS:
+    # k * L1_IF_step, reference GLONASS/L1/initSettings.sci).
+    if_offset_hz: float = 0.0
 
 
 @dataclasses.dataclass
@@ -76,6 +79,10 @@ def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         np.array([ch.doppler_hz for ch in channels], np.float32),
         aid_div=trk.aid_div,
     )
+    carr_base, inv_aid = tscan.channel_consts(
+        sig, trk, [ch.prn for ch in channels],
+        if_offsets_hz=[ch.if_offset_hz for ch in channels])
+    consts = (jnp.asarray(carr_base), jnp.asarray(inv_aid))
 
     tracker = tscan.make_tracker(sig, trk, n_blocks=chunk_ms)
 
@@ -92,7 +99,7 @@ def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         state = state._replace(
             corr=state.corr._replace(
                 sample_pos=jnp.asarray(rel, jnp.int32)))
-        state, out = tracker(chunk, codes_dev, state)
+        state, out = tracker(chunk, codes_dev, consts, state)
         out = jax.tree.map(np.asarray, out)
         outs.append(out)
         # f64 absolute-sample bookkeeping from per-block sizes.

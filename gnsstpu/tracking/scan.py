@@ -87,11 +87,38 @@ class TrackOut(NamedTuple):
     pll_disc_filt: jax.Array
 
 
+def channel_consts(sig: SignalConfig, trk: TrackConfig, prns,
+                   if_offsets_hz=None):
+    """Per-channel constants: exact uint32 carrier NCO base steps and
+    carrier-aiding divisors.
+
+    For CDMA signals all channels share sig.if_freq and trk.aid_div; for
+    FDMA (GLONASS, reference GLONASS/L1/initSettings.sci L1_IF_step) each
+    channel's IF is offset and its aid divisor is f_carr(k)/f_code.
+    if_offsets_hz: [C] carrier offsets from sig.if_freq (None = CDMA).
+    Returns (carr_base_u32 [C], inv_aid_f32 [C]).
+    """
+    C = len(prns)
+    offs = np.zeros(C) if if_offsets_hz is None else np.asarray(
+        if_offsets_hz, np.float64)
+    base = np.array(
+        [nco.freq_to_step_u32(sig.if_freq + offs[c], sig.fs)
+         for c in range(C)], np.uint32)
+    inv_aid = np.full(C, 1.0 / trk.aid_div, np.float32)
+    if if_offsets_hz is not None:
+        # aid_div_k = (f_carr0 + off_k) / f_code with f_carr0 implied by
+        # trk.aid_div = f_carr0 / f_code.
+        f_carr0 = trk.aid_div * sig.code_freq
+        inv_aid = (sig.code_freq / (f_carr0 + offs)).astype(np.float32)
+    return base, inv_aid
+
+
 def make_tracker(sig: SignalConfig, trk: TrackConfig, *, n_blocks: int,
                  blkmax: int | None = None):
     """Build the jitted chunk tracker.
 
     Returns track_chunk(chunk_c64[N], padded_codes_f32[C, L+2],
+                        consts: (carr_base_u32[C], inv_aid_f32[C]),
                         state: TrackState with [C] leaves)
       -> (new_state, TrackOut with [n_blocks, C] leaves).
     """
@@ -103,19 +130,18 @@ def make_tracker(sig: SignalConfig, trk: TrackConfig, *, n_blocks: int,
     c_dll_p = f32(tau2 / tau1)
     c_dll_i = f32(trk.pdi / tau1)
     k1, k2, k3 = f32(k1), f32(k2), f32(k3)
-    inv_aid = f32(1.0 / trk.aid_div)
     corr = functools.partial(
         correlate_block,
         blkmax=blkmax,
         spacing=trk.el_spacing,
         code_length=sig.code_length,
         base_code_step=float(np.float64(sig.code_freq) / sig.fs),
-        base_carr_step_u32=int(nco.freq_to_step_u32(sig.if_freq, sig.fs)),
         inv_fs=1.0 / sig.fs,
     )
 
-    def one_block(chunk, padded_code, st: TrackState):
-        out, cs = corr(chunk, padded_code, st.corr)
+    def one_block(chunk, padded_code, carr_base_u32, inv_aid,
+                  st: TrackState):
+        out, cs = corr(chunk, padded_code, carr_base_u32, st.corr)
 
         # FLL discriminator: cross/dot over consecutive prompts,
         # normalized atan2/pi (tracking.sci:292-299).
@@ -164,12 +190,14 @@ def make_tracker(sig: SignalConfig, trk: TrackConfig, *, n_blocks: int,
         )
         return new_state, tout
 
-    vblock = jax.vmap(one_block, in_axes=(None, 0, 0))
+    vblock = jax.vmap(one_block, in_axes=(None, 0, 0, 0, 0))
 
     @jax.jit
-    def track_chunk(chunk, padded_codes, state):
+    def track_chunk(chunk, padded_codes, consts, state):
+        carr_base_u32, inv_aid = consts
+
         def step(st, _):
-            return vblock(chunk, padded_codes, st)
+            return vblock(chunk, padded_codes, carr_base_u32, inv_aid, st)
 
         return jax.lax.scan(step, state, None, length=n_blocks)
 

@@ -81,15 +81,20 @@ def test_sharded_tracking_matches_single_device(sim_samples):
     tracker = tscan.make_tracker(SIG, trk, n_blocks=n_blocks)
     chunk = jnp.asarray(samples[: (n_blocks + 2) * SIG.samples_per_code])
 
+    cb, ia = tscan.channel_consts(SIG, trk, prns)
+    consts = (jnp.asarray(cb), jnp.asarray(ia))
     state0 = tscan.TrackState.init(np.array(cps), np.array(dops, np.float32))
-    ref_state, ref_out = tracker(chunk, codes, state0)
+    ref_state, ref_out = tracker(chunk, codes, consts, state0)
 
     mesh = make_mesh([("channel", 4), ("doppler", 2)])
     st_s, codes_s = shard_channel_state(state0, codes, mesh)
+    consts_s = tuple(
+        jax.device_put(c, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("channel"))) for c in consts)
     chunk_s = jax.device_put(
         chunk, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))
-    got_state, got_out = tracker(chunk_s, codes_s, st_s)
+    got_state, got_out = tracker(chunk_s, codes_s, consts_s, st_s)
 
     for a, b in zip(jax.tree.leaves(ref_out), jax.tree.leaves(got_out)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -62,8 +62,8 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] simulator ready "
           f"({n_ms} ms @ {SIG.fs/1e6:.3f} Msps, C/N0 {sat.cn0_dbhz} dB-Hz)")
 
-    res = acquire(src.read(0, 2 * ACQ.coherent_ms * SIG.samples_per_code),
-                  SIG, ACQ)
+    from gnsstpu.acquisition.search import acq_samples_needed
+    res = acquire(src.read(0, acq_samples_needed(SIG, ACQ)), SIG, ACQ)
     print(f"[{time.time()-t0:6.1f}s] acquisition: detected PRNs "
           f"{res.detected_prns()}, metric "
           f"{res.peak_metric[sat.prn-1]:.1f}, doppler "

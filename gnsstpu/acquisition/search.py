@@ -32,25 +32,36 @@ class AcqResults:
         return [int(p) + 1 for p in np.nonzero(self.detected)[0]]
 
 
-def acquire(samples: np.ndarray, sig: SignalConfig, acq: AcqConfig,
+def acq_samples_needed(sig: SignalConfig, acq: AcqConfig) -> int:
+    """Leading samples acquire() consumes (2 coherent windows + tail)."""
+    spc = sig.samples_per_code
+    return acq.coherent_ms * spc + fft_acquire.window_len(
+        spc, acq.coherent_ms)
+
+
+def acquire(samples_iq: np.ndarray, sig: SignalConfig, acq: AcqConfig,
             sharding: Optional[object] = None) -> AcqResults:
     """Search all PRNs of sig.signal in the leading samples.
 
     Args:
-      samples: complex64 [>= 2*coherent_ms*samples_per_code].
+      samples_iq: f32 [N >= acq_samples_needed(sig, acq), 2].
       sharding: optional jax sharding for the Doppler axis (multi-chip).
     """
     sd = get_signal(sig.signal)
     spc = sig.samples_per_code
     L = acq.coherent_ms * spc
-    if samples.shape[0] < 2 * L:
+    Lw = fft_acquire.window_len(spc, acq.coherent_ms)
+    if samples_iq.shape[0] < L + Lw:
         raise ValueError(
-            f"need >= {2 * L} samples for {acq.coherent_ms} ms coherent x2"
+            f"need >= {L + Lw} samples for {acq.coherent_ms} ms coherent x2"
         )
-    blocks = jnp.asarray(samples[: 2 * L].reshape(2, L), jnp.complex64)
+    # Two alternating coherent windows (bit-flip dodge), each with one
+    # extra code period of tail for linear-correlation lags.
+    blocks = jnp.asarray(np.stack([
+        samples_iq[:Lw], samples_iq[L:L + Lw]]), jnp.float32)
 
-    code_fd = jnp.asarray(fft_acquire.code_fd_table(
-        sig.signal, sig.fs, sig.code_freq, sig.code_length, acq.coherent_ms))
+    fd_re, fd_im = fft_acquire.code_fd_table(
+        sig.signal, sig.fs, sig.code_freq, sig.code_length, acq.coherent_ms)
     dopp = fft_acquire.doppler_grid(
         sig.if_freq, acq.doppler_band, acq.doppler_bin_step())
     dopp_dev = jnp.asarray(dopp, jnp.float32)
@@ -59,7 +70,8 @@ def acquire(samples: np.ndarray, sig: SignalConfig, acq: AcqConfig,
         dopp_dev = jax.device_put(dopp_dev, sharding)
 
     cube = fft_acquire.acquire_cube(
-        blocks, code_fd, dopp_dev, sig.fs, combine="max")
+        blocks, jnp.asarray(fd_re), jnp.asarray(fd_im), dopp_dev,
+        sig.fs, spc, combine="max")
     spchip = round(sig.fs / sig.code_freq)
     m = fft_acquire.peak_metrics(
         cube, samples_per_code=spc, samples_per_chip=spchip)

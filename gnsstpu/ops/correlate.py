@@ -79,7 +79,7 @@ def correlate_block(
     """Correlate one code period starting at state.sample_pos.
 
     Args:
-      chunk: complex64 [N] IF samples (shared across channels).
+      chunk: f32 [N, 2] iq32 IF samples (shared across channels).
       padded_code: f32/int8 [code_length + 2] (see code_tables.padded_code_table).
       base_carr_step_u32: uint32 scalar carrier NCO step at this channel's
         nominal carrier (exact, computed on host; per-channel so FDMA
@@ -102,7 +102,8 @@ def correlate_block(
     blksize_f = jnp.ceil((f32(code_length) - state.rem_code_phase) / step)
     blksize = jnp.clip(blksize_f.astype(jnp.int32), 1, blkmax)
 
-    window = jax.lax.dynamic_slice(chunk, (state.sample_pos,), (blkmax,))
+    window = jax.lax.dynamic_slice(
+        chunk, (state.sample_pos, jnp.int32(0)), (blkmax, 2))
 
     # Carrier wipeoff with conjugate LO: bb = x * exp(-i*phase);
     # I = Re(bb), Q = Im(bb). (Same structure as the reference's wipeoff
@@ -117,7 +118,7 @@ def correlate_block(
     phases, _ = nco.carrier_ramp_u32(state.carr_phase_u32, carr_step, blkmax)
     ang = nco.phase_u32_to_angle(phases)
     lo_re, lo_im = jnp.cos(ang), jnp.sin(ang)
-    x_re, x_im = jnp.real(window), jnp.imag(window)
+    x_re, x_im = window[:, 0], window[:, 1]
     bb_i = x_re * lo_re + x_im * lo_im   # Re(x * conj(lo))
     bb_q = x_im * lo_re - x_re * lo_im   # Im(x * conj(lo))
 

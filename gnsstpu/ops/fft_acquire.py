@@ -1,4 +1,4 @@
-"""Batched FFT circular-correlation acquisition kernel.
+"""Batched FFT correlation acquisition kernel (split-complex, TPU-native).
 
 The TPU form of the reference's acquisition engines:
   * Scilab FFT search (GPS/L1/acquisition.sci:91-187): per-PRN replica FFT,
@@ -7,21 +7,38 @@ The TPU form of the reference's acquisition engines:
   * realtime tiers (objects/acquisition.cpp:244/309/433): coherent N ms and
     noncoherent K-fold combining.
 
-Here the whole (PRN x Doppler x code-phase) cube is one batched device
-program: the carrier wipeoff + forward FFT is computed once per Doppler bin
-(it is PRN-independent) and the per-PRN inverse FFTs run as a scanned batch.
+TPU-first differences from the reference:
+  * no complex dtype anywhere — I/Q ride as separate f32 planes through a
+    split-complex Stockham FFT (gnsstpu.ops.fftsc);
+  * circular correlation is replaced by zero-padded *linear* correlation
+    to the next power of 2: the data window carries one extra code period
+    of real samples, so lags [0, samples_per_code) are exact for any
+    sample rate (the reference needs L to match the FFT size; the Scilab
+    COMPASS receiver's zero-padded 2x FFT, COMPASS/B1/acquisition.sci:89,
+    is the same idea).
+
+The whole (PRN x Doppler x code-phase) cube is one batched device program.
 Sharding over mesh axes lives in gnsstpu.parallel.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gnsstpu.ops import code_tables
+from gnsstpu.ops.fftsc import fft_sc
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def doppler_grid(if_freq: float, band_hz: float, step_hz: float) -> np.ndarray:
@@ -30,27 +47,40 @@ def doppler_grid(if_freq: float, band_hz: float, step_hz: float) -> np.ndarray:
     return if_freq - band_hz / 2 + step_hz * np.arange(n)
 
 
-def code_fd_table(signal: str, fs: float, code_freq: float, code_length: int,
-                  coh_periods: int) -> np.ndarray:
-    """conj(FFT(code tiled over the coherent window)) for all PRNs.
+def window_len(samples_per_code: int, coh_periods: int) -> int:
+    """Samples per coherent window incl. the extra code period of tail."""
+    return (coh_periods + 1) * samples_per_code
 
-    [P, coh_periods*samples_per_code] complex64 — the equivalent of the
-    reference's precomputed frequency-domain replicas (prn_codes.h) /
-    caCodeFreqDom (acquisition.sci:95).
+
+def code_fd_table(signal: str, fs: float, code_freq: float, code_length: int,
+                  coh_periods: int) -> Tuple[np.ndarray, np.ndarray]:
+    """conj(FFT(code tiled over the coherent window, zero-padded)) for all
+    PRNs: (re, im) f32 [P, Npad].
+
+    The equivalent of the reference's precomputed frequency-domain
+    replicas (accessories/prn_codes.h / caCodeFreqDom acquisition.sci:95).
     """
     table = code_tables.sampled_code_table(signal, fs, code_freq, code_length)
-    tiled = np.tile(table.astype(np.float32), (1, coh_periods))
-    return np.conj(np.fft.fft(tiled, axis=1)).astype(np.complex64)
+    spc = table.shape[1]
+    L = coh_periods * spc
+    npad = next_pow2(L + spc)
+    tiled = np.zeros((table.shape[0], npad), np.float32)
+    tiled[:, :L] = np.tile(table.astype(np.float32), (1, coh_periods))
+    fd = np.conj(np.fft.fft(tiled, axis=1))
+    return fd.real.astype(np.float32), fd.imag.astype(np.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("combine", "prn_chunk")
+    jax.jit, static_argnames=("fs", "samples_per_code", "combine",
+                              "prn_chunk")
 )
 def acquire_cube(
-    blocks: jax.Array,
-    code_fd: jax.Array,
+    blocks_iq: jax.Array,
+    code_fd_re: jax.Array,
+    code_fd_im: jax.Array,
     doppler_hz: jax.Array,
     fs: float,
+    samples_per_code: int,
     *,
     combine: str = "max",
     prn_chunk: int = 4,
@@ -58,37 +88,51 @@ def acquire_cube(
     """Correlation power cube over (PRN, Doppler, code phase).
 
     Args:
-      blocks: complex64 [B, L] — B coherent blocks of L samples
-        (B=2 alternating blocks for bit-flip dodging, or B=K noncoherent).
-      code_fd: complex64 [P, L] from code_fd_table.
+      blocks_iq: f32 [B, Lw, 2] — B coherent windows of Lw samples, each
+        carrying one extra code period of tail (window_len()); B=2
+        alternating windows for bit-flip dodging, or B=K noncoherent.
+      code_fd_re/im: f32 [P, Npad] from code_fd_table.
       doppler_hz: f32 [D] absolute carrier frequencies to wipe off.
-      fs: sampling frequency.
+      fs: sampling frequency (static).
+      samples_per_code: lags to keep (static).
       combine: 'max' (alternating-block dodge, acquisition.sci:126-132)
         or 'sum' (noncoherent accumulation, acquisition.cpp:433).
 
-    Returns f32 [P, D, L] correlation power (only the first
-    samples_per_code columns are distinct; callers slice).
+    Returns f32 [P, D, samples_per_code] correlation power.
     """
-    B, L = blocks.shape
-    P = code_fd.shape[0]
-    t = jnp.arange(L, dtype=jnp.float32) * jnp.float32(1.0 / fs)
-    # Wipeoff phase per bin: exp(-i*2*pi*f*t). PRN-independent.
-    ang = (2.0 * jnp.pi) * doppler_hz[:, None] * t[None, :]
-    lo = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))          # [D, L]
-    w = jnp.fft.fft(blocks[:, None, :] * lo[None, :, :], axis=-1)  # [B, D, L]
+    B, Lw, _ = blocks_iq.shape
+    P, npad = code_fd_re.shape
+    spc = samples_per_code
 
-    def one_chunk(code_fd_chunk):
-        # [B, D, c, L] inverse FFTs -> power -> combine over B.
-        prod = w[:, :, None, :] * code_fd_chunk[None, None, :, :]
-        power = jnp.abs(jnp.fft.ifft(prod, axis=-1)) ** 2
+    t = jnp.arange(Lw, dtype=jnp.float32) * jnp.float32(1.0 / fs)
+    ang = (2.0 * jnp.pi) * doppler_hz[:, None] * t[None, :]     # [D, Lw]
+    lo_c, lo_s = jnp.cos(ang), jnp.sin(ang)
+    xr = blocks_iq[:, None, :, 0]                                # [B, 1, Lw]
+    xi = blocks_iq[:, None, :, 1]
+    # Wipeoff x * exp(-i*ang).
+    wr = xr * lo_c + xi * lo_s                                   # [B, D, Lw]
+    wi = xi * lo_c - xr * lo_s
+    pad = ((0, 0), (0, 0), (0, npad - Lw))
+    fr, fi = fft_sc(jnp.pad(wr, pad), jnp.pad(wi, pad))          # [B, D, Npad]
+
+    def one_chunk(code_chunk):
+        cr, ci = code_chunk                                      # [c, Npad]
+        # (f * code_fd) with code_fd already conjugated.
+        pr = fr[:, :, None, :] * cr[None, None] - fi[:, :, None, :] * ci[None, None]
+        pi = fr[:, :, None, :] * ci[None, None] + fi[:, :, None, :] * cr[None, None]
+        br, bi = fft_sc(pr, pi, inverse=True)                    # [B, D, c, Npad]
+        power = (br * br + bi * bi)[..., :spc]
         if combine == "sum":
             return jnp.sum(power, axis=0)
-        return jnp.max(power, axis=0)
+        return jnp.max(power, axis=0)                            # [D, c, spc]
 
-    chunks = code_fd.reshape(P // prn_chunk, prn_chunk, L) \
-        if P % prn_chunk == 0 else code_fd[:, None, :]
-    out = jax.lax.map(one_chunk, chunks)          # [P/c, D, c, L]
-    return out.transpose(0, 2, 1, 3).reshape(P, -1, L)
+    if P % prn_chunk == 0:
+        chunks = (code_fd_re.reshape(P // prn_chunk, prn_chunk, npad),
+                  code_fd_im.reshape(P // prn_chunk, prn_chunk, npad))
+    else:
+        chunks = (code_fd_re[:, None, :], code_fd_im[:, None, :])
+    out = jax.lax.map(one_chunk, chunks)                         # [P/c, D, c, spc]
+    return out.transpose(0, 2, 1, 3).reshape(P, -1, spc)
 
 
 @functools.partial(jax.jit, static_argnames=("samples_per_code",

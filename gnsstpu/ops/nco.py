@@ -53,8 +53,9 @@ def phase_u32_to_angle(phase_u32):
     return phase_u32.astype(jnp.float32) * _PHASE_SCALE
 
 
-def complex_lo(phase_u32):
-    """Local oscillator exp(+i·angle) from integer phase (matches the
-    reference's carrsig = exp(i·trigarg), tracking.sci:276)."""
+def lo_iq(phase_u32):
+    """Local oscillator (cos, sin) planes from integer phase (split-complex
+    form of the reference's carrsig = exp(i·trigarg), tracking.sci:276;
+    no complex dtype — see gnsstpu.ops.iq)."""
     ang = phase_u32_to_angle(phase_u32)
-    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    return jnp.cos(ang), jnp.sin(ang)

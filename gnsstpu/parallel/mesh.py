@@ -45,14 +45,15 @@ def shard_channel_state(state, codes, mesh: Mesh, axis: str = "channel"):
     return state, codes
 
 
-def shard_acquisition_inputs(blocks, code_fd, doppler, mesh: Mesh,
-                             prn_axis: str = "channel",
+def shard_acquisition_inputs(blocks_iq, code_fd_re, code_fd_im, doppler,
+                             mesh: Mesh, prn_axis: str = "channel",
                              doppler_axis: str = "doppler"):
-    """Place acquisition inputs: blocks replicated, code_fd sharded over
-    PRNs, Doppler grid sharded over bins."""
-    blocks = jax.device_put(blocks, NamedSharding(mesh, P()))
-    code_fd = jax.device_put(
-        code_fd, NamedSharding(mesh, P(prn_axis, None)))
+    """Place acquisition inputs: sample windows replicated, code replicas
+    sharded over PRNs, Doppler grid sharded over bins."""
+    blocks_iq = jax.device_put(blocks_iq, NamedSharding(mesh, P()))
+    prn_sh = NamedSharding(mesh, P(prn_axis, None))
+    code_fd_re = jax.device_put(code_fd_re, prn_sh)
+    code_fd_im = jax.device_put(code_fd_im, prn_sh)
     doppler = jax.device_put(
         doppler, NamedSharding(mesh, P(doppler_axis)))
-    return blocks, code_fd, doppler
+    return blocks_iq, code_fd_re, code_fd_im, doppler

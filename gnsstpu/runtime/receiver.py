@@ -57,9 +57,10 @@ def run_receiver(source, cfg: ReceiverConfig,
     n_ms = n_ms or cfg.ms_to_process
     sd = get_signal(sig.signal)
 
-    acq_samples = source.read(
-        0, 2 * cfg.acq.coherent_ms * sig.samples_per_code)
-    acq_res = acquire(acq_samples, sig, cfg.acq)
+    from gnsstpu.acquisition.search import acq_samples_needed
+
+    acq_res = acquire(source.read(0, acq_samples_needed(sig, cfg.acq)),
+                      sig, cfg.acq)
     channels = allocate_channels(acq_res, cfg.n_channels)
     if not channels:
         return ReceiverOutput(acq_res, [], None, [], {}, {}, None)

@@ -19,20 +19,24 @@ from gnsstpu.config import SignalConfig
 
 class SampleSource(Protocol):
     def read(self, start: int, count: int) -> np.ndarray:
-        """Return complex64 [count] samples; zero-pad past the end."""
+        """Return iq32 f32 [count, 2] samples; zero-pad past the end."""
         ...
 
     def __len__(self) -> int: ...
 
 
 class ArraySource:
-    """In-memory source over a complex64 array."""
+    """In-memory source over an iq32 [N, 2] (or complex, converted) array."""
 
     def __init__(self, samples: np.ndarray):
-        self.samples = np.asarray(samples, np.complex64)
+        samples = np.asarray(samples)
+        if np.iscomplexobj(samples):
+            from gnsstpu.ops.iq import complex_to_iq
+            samples = complex_to_iq(samples)
+        self.samples = np.asarray(samples, np.float32).reshape(-1, 2)
 
     def read(self, start: int, count: int) -> np.ndarray:
-        out = np.zeros(count, np.complex64)
+        out = np.zeros((count, 2), np.float32)
         lo = max(start, 0)
         hi = min(start + count, len(self.samples))
         if hi > lo:
@@ -74,12 +78,15 @@ class FileSource:
             count=count * self._per,
             offset=start * self._bytes_per_sample)
         n = len(raw) // self._per
-        out = np.zeros(count, np.complex64)
-        if self._per == 2:
-            out[:n] = raw[: 2 * n : 2].astype(np.float32) \
-                + 1j * raw[1 : 2 * n : 2].astype(np.float32)
+        out = np.zeros((count, 2), np.float32)
+        if self.fmt == "c64":
+            out[:n, 0] = raw[:n].real
+            out[:n, 1] = raw[:n].imag
+        elif self._per == 2:
+            out[:n, 0] = raw[: 2 * n : 2]
+            out[:n, 1] = raw[1 : 2 * n : 2]
         else:
-            out[:n] = raw[:n].astype(np.float32)
+            out[:n, 0] = raw[:n]
         return out
 
     def __len__(self) -> int:
@@ -108,7 +115,7 @@ class SimSource:
             self._cache_ms0 = gen_ms0
             self._cache_len_ms = gen_len
         off = start - self._cache_ms0 * self.block
-        out = np.zeros(count, np.complex64)
+        out = np.zeros((count, 2), np.float32)
         avail = self._cache[max(off, 0): off + count]
         out[max(-off, 0): max(-off, 0) + len(avail)] = avail
         return out

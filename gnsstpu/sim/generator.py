@@ -148,32 +148,34 @@ class IFSimulator:
                 cvals = jnp.take(code, chip)
                 bidx = (pc + wrap) // bit_len
                 bvals = jnp.take(bvec, jnp.clip(bidx, 0, bvec.shape[0] - 1))
-                return amp * cvals * bvals * jax.lax.complex(
-                    jnp.cos(ang), jnp.sin(ang))
+                env = amp * cvals * bvals
+                return env * jnp.cos(ang), env * jnp.sin(ang)
 
-            sig = jax.vmap(per_sv)(codes, bits, amps, carr_frac, fc_cyc,
-                                   rate_cyc, chip_in_per, per_count, dchip)
-            return jnp.sum(sig, axis=0)
+            si, sq = jax.vmap(per_sv)(codes, bits, amps, carr_frac, fc_cyc,
+                                      rate_cyc, chip_in_per, per_count,
+                                      dchip)
+            return jnp.sum(si, axis=0), jnp.sum(sq, axis=0)
 
         block_fn = jax.vmap(one_block, in_axes=(None, None, None, 1, 1, 1,
                                                 1, 1, 1))
 
         @jax.jit
         def synth(codes, bits, amps, p, noise_key, sigma):
-            sig = block_fn(codes, bits, amps, p["carr_frac"], p["fc_cyc"],
-                           p["rate_cyc"], p["chip_in_per"], p["per_count"],
-                           p["dchip"])                       # [n_ms, n_bs]
-            noise = sigma * (
-                jax.random.normal(noise_key, sig.shape)
-                + 1j * jax.random.normal(jax.random.fold_in(noise_key, 1),
-                                         sig.shape)
-            ) * np.float32(np.sqrt(0.5))
-            return (sig + noise).reshape(-1)
+            si, sq = block_fn(codes, bits, amps, p["carr_frac"], p["fc_cyc"],
+                              p["rate_cyc"], p["chip_in_per"],
+                              p["per_count"], p["dchip"])    # [n_ms, n_bs]
+            nsig = sigma * np.float32(np.sqrt(0.5))
+            ni = nsig * jax.random.normal(noise_key, si.shape)
+            nq = nsig * jax.random.normal(
+                jax.random.fold_in(noise_key, 1), sq.shape)
+            return jnp.stack(
+                [(si + ni).reshape(-1), (sq + nq).reshape(-1)], axis=-1)
 
         return synth
 
     def generate(self, n_ms: int, ms0: int = 0) -> np.ndarray:
-        """Generate n_ms milliseconds starting at ms0, complex64 [n_ms*fs/1e3]."""
+        """Generate n_ms milliseconds starting at ms0: f32 [n_ms*fs/1e3, 2]
+        (iq32 planes, see gnsstpu.ops.iq)."""
         p = self._block_params(ms0, n_ms)
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), ms0)
         out = self._synth(

@@ -37,22 +37,26 @@ def test_sharded_acquisition_matches_single_device(sim_samples):
                     doppler_step=500.0)
     spc = SIG.samples_per_code
     L = acq.coherent_ms * spc
-    blocks = jnp.asarray(samples[:2 * L].reshape(2, L))
-    code_fd = jnp.asarray(fft_acquire.code_fd_table(
-        SIG.signal, SIG.fs, SIG.code_freq, SIG.code_length, acq.coherent_ms))
+    lw = fft_acquire.window_len(spc, acq.coherent_ms)
+    blocks = jnp.asarray(np.stack([samples[:lw], samples[L:L + lw]]))
+    fd_re, fd_im = fft_acquire.code_fd_table(
+        SIG.signal, SIG.fs, SIG.code_freq, SIG.code_length, acq.coherent_ms)
+    fd_re, fd_im = jnp.asarray(fd_re), jnp.asarray(fd_im)
     dopp = jnp.asarray(fft_acquire.doppler_grid(
         0.0, acq.doppler_band, 500.0), jnp.float32)
     # 15 bins -> pad to 16 for an even shard over 4 doppler devices.
     dopp = jnp.concatenate([dopp, dopp[-1:] + 500.0])
 
-    ref_cube = fft_acquire.acquire_cube(blocks, code_fd, dopp, SIG.fs)
+    ref_cube = fft_acquire.acquire_cube(blocks, fd_re, fd_im, dopp,
+                                        SIG.fs, spc)
     ref = fft_acquire.peak_metrics(
         ref_cube, samples_per_code=spc,
         samples_per_chip=round(SIG.fs / SIG.code_freq))
 
     mesh = make_mesh([("channel", 2), ("doppler", 4)])
-    b_s, c_s, d_s = shard_acquisition_inputs(blocks, code_fd, dopp, mesh)
-    cube = fft_acquire.acquire_cube(b_s, c_s, d_s, SIG.fs)
+    b_s, cr_s, ci_s, d_s = shard_acquisition_inputs(
+        blocks, fd_re, fd_im, dopp, mesh)
+    cube = fft_acquire.acquire_cube(b_s, cr_s, ci_s, d_s, SIG.fs, spc)
     got = fft_acquire.peak_metrics(
         cube, samples_per_code=spc,
         samples_per_chip=round(SIG.fs / SIG.code_freq))

@@ -91,3 +91,65 @@ def acquire(samples_iq: np.ndarray, sig: SignalConfig, acq: AcqConfig,
         carr_freq=dopp[best_bin],
         detected=detected,
     )
+
+
+def acquire_fdma(samples_iq: np.ndarray, sig: SignalConfig, acq: AcqConfig
+                 ) -> AcqResults:
+    """FDMA acquisition (GLONASS): search frequency channels, not PRNs.
+
+    All satellites share one ranging code and are separated by carrier
+    frequency (reference GLONASS/L1/acquisition.sci:95-193 searches
+    settings.acqFCHList channels). The whole (channel x Doppler x code
+    phase) cube is one device program: a single-code replica row against
+    a flattened [channel * doppler] wipeoff grid.
+
+    Result indexing matches the signal's registry PRNs (index 0 = "prn" 1
+    = frequency channel sd.carrier_freq-mapped; for GLONASS k = prn - 8).
+    carr_freq entries are relative to sig.if_freq's zero channel (i.e.
+    include the k * step FDMA offset plus Doppler).
+    """
+    sd = get_signal(sig.signal)
+    spc = sig.samples_per_code
+    L = acq.coherent_ms * spc
+    Lw = fft_acquire.window_len(spc, acq.coherent_ms)
+    if samples_iq.shape[0] < L + Lw:
+        raise ValueError(f"need >= {L + Lw} samples")
+    blocks = jnp.asarray(np.stack([
+        samples_iq[:Lw], samples_iq[L:L + Lw]]), jnp.float32)
+
+    fd_re, fd_im = fft_acquire.code_fd_table(
+        sig.signal, sig.fs, sig.code_freq, sig.code_length, acq.coherent_ms)
+    fd_re, fd_im = fd_re[:1], fd_im[:1]       # one shared code row
+
+    # Offsets of each channel's carrier from the zero channel's.
+    carr_all = np.array([sd.carrier_freq(p)
+                         for p in range(1, sd.num_prn + 1)])
+    offs = carr_all - sd.carrier_freq(sd.fdma_zero_prn or 1)
+
+    dopp1 = fft_acquire.doppler_grid(
+        0.0, acq.doppler_band, acq.doppler_bin_step())        # [D]
+    K, D = sd.num_prn, len(dopp1)
+    grid = (sig.if_freq + offs[:, None] + dopp1[None, :]).reshape(-1)
+
+    cube = fft_acquire.acquire_cube(
+        blocks, jnp.asarray(fd_re), jnp.asarray(fd_im),
+        jnp.asarray(grid, jnp.float32), sig.fs, spc, combine="max")
+    cube = cube.reshape(K, D, spc)
+    spchip = round(sig.fs / sig.code_freq)
+    m = fft_acquire.peak_metrics(
+        cube, samples_per_code=spc, samples_per_chip=spchip)
+
+    metric = np.asarray(m["metric"])
+    best_bin = np.asarray(m["doppler_bin"])
+    carr = offs + dopp1[best_bin] + sig.if_freq
+    detected = metric > acq.threshold
+    if acq.prn_list is not None:
+        allowed = np.zeros(K, bool)
+        allowed[[p - 1 for p in acq.prn_list]] = True
+        detected &= allowed
+    return AcqResults(
+        peak_metric=metric,
+        code_phase=np.asarray(m["code_phase"]),
+        carr_freq=carr,
+        detected=detected,
+    )

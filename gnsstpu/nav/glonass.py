@@ -1,0 +1,354 @@
+"""GLONASS navigation message: time marks, string codec, PZ-90 orbits.
+
+Reference semantics:
+  - time-mark sync: GLONASS/L1/findTimeMarks.sci:1-22 (30-bit PR sequence
+    at 100 bit/s, correlation over ms-cadence prompt signs);
+  - string ("relative code") decode: GLONASS/L1/include/decode_gl_data.sci
+    (meander wipeoff, 20 ms integration, differential product decode);
+  - ephemeris strings 1-5 field extraction (sign-magnitude scalings):
+    GLONASS/L1/include/ephemeris.sci:1-100;
+  - PZ-90 equations of motion, RK4, 10 s steps + J2 (c20):
+    GLONASS/L1/geoFunctions/satposg.sci:1-314; clock = taun - gamman*dt
+    (satposg.sci:310).
+
+String structure (2 s): 1.7 s of data — 85 twenty-ms slots encoding 84
+bits in relative (differential) code under a 100 Hz meander — then the
+0.3 s time mark. The encoder exists for fixture-by-construction testing;
+decode(encode(eph)) must round-trip bit-exactly. All polarity-invariant
+(differential data; |correlation| time-mark detection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# ICD time mark: 30-bit PR sequence, first-transmitted bit first.
+TIME_MARK_BITS = np.array(
+    [1, 1, 1, 1, 1, 0, 0, 0, 1, 1, 0, 1, 1, 1, 0, 1, 0, 1, 0, 0, 0, 0, 1,
+     0, 0, 1, 0, 1, 1, 0], np.int8)
+TIME_MARK_PM1 = (1 - 2 * TIME_MARK_BITS).astype(np.float64)
+
+SYMBOL_MS = 10                 # 100 sps symbol length
+STRING_MS = 2000               # 2 s per string
+DATA_MS = 1700
+SLOT_MS = 20                   # one relative-code slot (2 symbols)
+
+
+@dataclasses.dataclass
+class GlonassEphemeris:
+    """GLONASS broadcast ephemeris (strings 1-4 fields; km/km/s units as
+    broadcast, per ephemeris.sci scalings)."""
+
+    # String 1
+    tk_h: int = 0
+    tk_m: int = 0
+    tk_s: int = 0
+    x: float = 0.0          # [km]
+    xdot: float = 0.0       # [km/s]
+    xdotdot: float = 0.0    # [km/s^2]
+    # String 2
+    Bn: int = 0
+    tb: int = 0             # [min within day, multiple of 15]
+    y: float = 0.0
+    ydot: float = 0.0
+    ydotdot: float = 0.0
+    # String 3
+    gamman: float = 0.0
+    z: float = 0.0
+    zdot: float = 0.0
+    zdotdot: float = 0.0
+    # String 4
+    taun: float = 0.0
+    n: int = 0              # slot number
+    valid: bool = False
+
+
+# ---------------------------------------------------------------------------
+# String codec
+# ---------------------------------------------------------------------------
+
+def _sm_encode(value: float, scale: float, n_mag: int) -> Tuple[int, List[int]]:
+    """Sign-magnitude: returns (sign_bit, magnitude bits list MSB first)."""
+    q = int(round(abs(value) / scale))
+    q = min(q, (1 << n_mag) - 1)
+    return (1 if value < 0 else 0,
+            [(q >> (n_mag - 1 - i)) & 1 for i in range(n_mag)])
+
+
+def _string_bits(eph: GlonassEphemeris, str_num: int) -> np.ndarray:
+    """ICD bit array b[85..1] -> numpy [85] with index i = ICD bit (85-i).
+
+    We store as b01[i] for i in 0..84 where b01[0] is ICD bit 85 (first
+    transmitted, always 0) and b01[84] is ICD bit 1 (last).
+    """
+    bits = np.zeros(85, np.int8)
+
+    def put(icd_hi: int, icd_lo: int, value_bits: Sequence[int]):
+        # ICD bit numbers descend with time: bit 85 first. b01 index of
+        # ICD bit k is 85 - k.
+        ks = range(icd_hi, icd_lo - 1, -1)
+        for k, v in zip(ks, value_bits):
+            bits[85 - k] = v
+
+    def put_uint(icd_hi, icd_lo, value):
+        n = icd_hi - icd_lo + 1
+        put(icd_hi, icd_lo, [(int(value) >> (n - 1 - i)) & 1
+                             for i in range(n)])
+
+    put_uint(84, 81, str_num)
+    if str_num == 1:
+        put_uint(76, 72, eph.tk_h)
+        put_uint(71, 66, eph.tk_m)
+        put_uint(65, 65, eph.tk_s // 30)
+        s, m = _sm_encode(eph.xdot, 2.0 ** -20, 23)
+        put_uint(64, 64, s)
+        put(63, 41, m)
+        s, m = _sm_encode(eph.xdotdot, 2.0 ** -30, 4)
+        put_uint(40, 40, s)
+        put(39, 36, m)
+        s, m = _sm_encode(eph.x, 2.0 ** -11, 26)
+        put_uint(35, 35, s)
+        put(34, 9, m)
+    elif str_num == 2:
+        put_uint(80, 78, (eph.Bn // 4) << 2)   # only MSB of Bn used
+        put_uint(76, 70, eph.tb // 15)
+        s, m = _sm_encode(eph.ydot, 2.0 ** -20, 23)
+        put_uint(64, 64, s)
+        put(63, 41, m)
+        s, m = _sm_encode(eph.ydotdot, 2.0 ** -30, 4)
+        put_uint(40, 40, s)
+        put(39, 36, m)
+        s, m = _sm_encode(eph.y, 2.0 ** -11, 26)
+        put_uint(35, 35, s)
+        put(34, 9, m)
+    elif str_num == 3:
+        s, m = _sm_encode(eph.gamman, 2.0 ** -40, 10)
+        put_uint(79, 79, s)
+        put(78, 69, m)
+        s, m = _sm_encode(eph.zdot, 2.0 ** -20, 23)
+        put_uint(64, 64, s)
+        put(63, 41, m)
+        s, m = _sm_encode(eph.zdotdot, 2.0 ** -30, 4)
+        put_uint(40, 40, s)
+        put(39, 36, m)
+        s, m = _sm_encode(eph.z, 2.0 ** -11, 26)
+        put_uint(35, 35, s)
+        put(34, 9, m)
+    elif str_num == 4:
+        s, m = _sm_encode(eph.taun, 2.0 ** -30, 21)
+        put_uint(80, 80, s)
+        put(79, 59, m)
+        put_uint(15, 11, eph.n)
+    return bits
+
+
+def encode_string(bits85: np.ndarray, last_level: float = 1.0) -> np.ndarray:
+    """One 2 s string as ±1 symbols [200] at 10 ms.
+
+    bits85: [85] 0/1, index 0 = ICD bit 85 (transmitted first; must be 0).
+    Data slots use relative code seeded by +1, each slot split into two
+    meander halves (decode_gl_data.sci conventions); then the time mark.
+    """
+    levels = np.empty(85)
+    levels[0] = 1.0
+    for j in range(84):
+        # decode: bit(ICD 84-j+...) = -nd[j]*nd[j+1]  (1-based j);
+        # b01[j+1] corresponds to the bit recovered from slots j, j+1.
+        b = bits85[j + 1]
+        levels[j + 1] = -levels[j] if b else levels[j]
+    sym = np.empty(200)
+    # Meander: decode multiplies slot halves by (-1, +1); encode matches.
+    sym[0:170:2] = -levels
+    sym[1:170:2] = levels
+    sym[170:] = TIME_MARK_PM1
+    return sym
+
+
+def encode_strings(eph: GlonassEphemeris, n_strings: int = 15) -> np.ndarray:
+    """±1 symbol stream (10 ms symbols) for strings 1..n cycling 1..15."""
+    out = []
+    for i in range(n_strings):
+        sn = i % 15 + 1
+        out.append(encode_string(_string_bits(eph, sn)))
+    return np.concatenate(out)
+
+
+def decode_string(prompt_ms: np.ndarray) -> Optional[np.ndarray]:
+    """Decode one string's 1700 ms of prompt-I into b01[85] (or None).
+
+    Mirrors decode_gl_data.sci: meander wipeoff, 20 ms sums, differential
+    product. Returns array indexed like _string_bits (index 0 = ICD 85).
+    """
+    x = np.asarray(prompt_ms[:DATA_MS], np.float64)
+    meander = np.empty(DATA_MS)
+    m = np.ones(170)
+    m[1::2] = -1
+    meander[:] = np.repeat(-m, SYMBOL_MS)
+    nd = (x * meander).reshape(85, SLOT_MS).sum(axis=1)
+    if np.any(nd == 0.0):
+        return None
+    nd = np.sign(nd)
+    b = np.zeros(85, np.int8)
+    prod = -nd[:-1] * nd[1:]
+    b[1:] = ((prod + 1) // 2).astype(np.int8)
+    return b
+
+
+def find_time_mark(prompt_i: np.ndarray) -> int:
+    """ms index where the first time mark STARTS, or -1.
+
+    findTimeMarks.sci: correlate the ±10 ms-upsampled TM against prompt
+    signs; |corr| > 290 of 300 possible.
+    """
+    s = np.sign(np.asarray(prompt_i, np.float64))
+    tm = np.repeat(TIME_MARK_PM1, SYMBOL_MS)
+    if len(s) < len(tm):
+        return -1
+    corr = np.correlate(s, tm, mode="valid")
+    idx = np.nonzero(np.abs(corr) > 290.0)[0]
+    return int(idx[0]) if len(idx) else -1
+
+
+def _sm(bits: np.ndarray, icd_hi: int, icd_lo: int, sign_icd: int,
+        scale: float) -> float:
+    v = 0
+    for k in range(icd_hi, icd_lo - 1, -1):
+        v = (v << 1) | int(bits[85 - k])
+    return v * scale * (-1.0 if bits[85 - sign_icd] else 1.0)
+
+
+def _uint(bits: np.ndarray, icd_hi: int, icd_lo: int) -> int:
+    v = 0
+    for k in range(icd_hi, icd_lo - 1, -1):
+        v = (v << 1) | int(bits[85 - k])
+    return v
+
+
+def decode_strings(prompt_i: np.ndarray, data_start_ms: int,
+                   n_strings: int = 15
+                   ) -> Tuple[GlonassEphemeris, Optional[float]]:
+    """Decode ephemeris from consecutive strings.
+
+    data_start_ms: ms index of the first string's DATA start (= time-mark
+    start + 300 ms, postNavigation.sci:97).
+    Returns (eph, t) with t = frame-referenced time of the first string
+    start (ephemeris.sci:95-97: tk - (string1pos-1)*2 - 0.3).
+    """
+    eph = GlonassEphemeris()
+    got = set()
+    string_1_pos = None
+    for i in range(n_strings):
+        seg = prompt_i[data_start_ms + i * STRING_MS:
+                       data_start_ms + i * STRING_MS + DATA_MS]
+        if len(seg) < DATA_MS:
+            break
+        b = decode_string(seg)
+        if b is None:
+            continue
+        sn = _uint(b, 84, 81)
+        if sn == 1:
+            eph.tk_h = _uint(b, 76, 72)
+            eph.tk_m = _uint(b, 71, 66)
+            eph.tk_s = _uint(b, 65, 65) * 30
+            eph.xdot = _sm(b, 63, 41, 64, 2.0 ** -20)
+            eph.xdotdot = _sm(b, 39, 36, 40, 2.0 ** -30)
+            eph.x = _sm(b, 34, 9, 35, 2.0 ** -11)
+            if string_1_pos is None:
+                string_1_pos = i + 1
+            got.add(1)
+        elif sn == 2:
+            eph.Bn = (_uint(b, 80, 80)) * 4
+            eph.tb = _uint(b, 76, 70) * 15
+            eph.ydot = _sm(b, 63, 41, 64, 2.0 ** -20)
+            eph.ydotdot = _sm(b, 39, 36, 40, 2.0 ** -30)
+            eph.y = _sm(b, 34, 9, 35, 2.0 ** -11)
+            got.add(2)
+        elif sn == 3:
+            eph.gamman = _sm(b, 78, 69, 79, 2.0 ** -40)
+            eph.zdot = _sm(b, 63, 41, 64, 2.0 ** -20)
+            eph.zdotdot = _sm(b, 39, 36, 40, 2.0 ** -30)
+            eph.z = _sm(b, 34, 9, 35, 2.0 ** -11)
+            got.add(3)
+        elif sn == 4:
+            eph.taun = _sm(b, 79, 59, 80, 2.0 ** -30)
+            eph.n = _uint(b, 15, 11)
+            got.add(4)
+    eph.valid = got >= {1, 2, 3, 4}
+    t = None
+    if eph.valid and string_1_pos is not None:
+        t = (eph.tk_h * 3600 + eph.tk_m * 60 + eph.tk_s
+             - (string_1_pos - 1) * 2 - 0.3)
+    return eph, t
+
+
+# ---------------------------------------------------------------------------
+# PZ-90 orbit propagation (satposg.sci)
+# ---------------------------------------------------------------------------
+
+MU = 398600.44e9
+C20 = -1082.63e-6
+AE = 6378.136e3
+WE = 0.7292115e-4
+
+
+def _accel(p: np.ndarray, v: np.ndarray, acc_ls: np.ndarray) -> np.ndarray:
+    """PZ-90 ECEF acceleration with J2 + centrifugal/Coriolis + lunisolar."""
+    r2 = np.sum(p * p, axis=-1, keepdims=True)
+    r = np.sqrt(r2)
+    z2_r2 = (p[..., 2:3] ** 2) / r2
+    j2 = 1.5 * C20 * MU * AE ** 2 / r ** 5
+    a = -MU / r ** 3 * p + j2 * p * (np.stack(
+        [1 - 5 * z2_r2[..., 0], 1 - 5 * z2_r2[..., 0],
+         3 - 5 * z2_r2[..., 0]], axis=-1))
+    a[..., 0] += WE ** 2 * p[..., 0] + 2 * WE * v[..., 1]
+    a[..., 1] += WE ** 2 * p[..., 1] - 2 * WE * v[..., 0]
+    return a + acc_ls
+
+
+def satposg(transmit_time, ephs: Sequence[GlonassEphemeris]
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """PZ-90 positions/velocities + clock corrections at transmit times.
+
+    transmit_time: scalar or [S] seconds within day (same frame as tb).
+    Returns (pos [S,3] m, vel [S,3] m/s, clk [S] s). RK4 with 10 s steps
+    then 1 s then the sub-second remainder (satposg.sci:66+ structure).
+    """
+    S = len(ephs)
+    tt = np.broadcast_to(np.asarray(transmit_time, np.float64), (S,)).copy()
+    pos = np.empty((S, 3))
+    vel = np.empty((S, 3))
+    clk = np.empty(S)
+    for i, e in enumerate(ephs):
+        t0 = e.tb * 60.0
+        dt = tt[i] - t0
+        clk[i] = e.taun - e.gamman * dt
+        p = np.array([e.x, e.y, e.z]) * 1000.0
+        v = np.array([e.xdot, e.ydot, e.zdot]) * 1000.0
+        als = np.array([e.xdotdot, e.ydotdot, e.zdotdot]) * 1000.0
+        sgn = 1.0 if dt >= 0 else -1.0
+        remaining = abs(dt)
+        for h_step in (10.0, 1.0, None):
+            if h_step is None:
+                steps, h = (1, remaining * sgn) if remaining > 1e-12 \
+                    else (0, 0.0)
+            else:
+                steps = int(remaining // h_step)
+                h = h_step * sgn
+                remaining -= steps * h_step
+            for _ in range(steps):
+                k1p = v
+                k1v = _accel(p, v, als)
+                k2p = v + 0.5 * h * k1v
+                k2v = _accel(p + 0.5 * h * k1p, v + 0.5 * h * k1v, als)
+                k3p = v + 0.5 * h * k2v
+                k3v = _accel(p + 0.5 * h * k2p, v + 0.5 * h * k2v, als)
+                k4p = v + h * k3v
+                k4v = _accel(p + h * k3p, v + h * k3v, als)
+                p = p + h / 6.0 * (k1p + 2 * k2p + 2 * k3p + k4p)
+                v = v + h / 6.0 * (k1v + 2 * k2v + 2 * k3v + k4v)
+        pos[i] = p
+        vel[i] = v
+    return pos, vel, clk

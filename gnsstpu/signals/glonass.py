@@ -1,0 +1,67 @@
+"""GLONASS FDMA signals: ST ranging code and L1OF/L2OF definitions.
+
+Reference: GLONASS/L1 Scilab receiver (the first open-source GLONASS SW
+receiver, wiki/GLONASS_SCILAB_RECEIVER.wiki:5-7). ST code per
+GLONASS/L1/include/generateSTcode.sci:1-10 — a 9-stage m-sequence, taps
+(5, 9), output from stage 7, 511 chips @ 0.511 Mcps. All satellites share
+the one code; they are separated in frequency (channels k = -7..6 spaced
+562.5 kHz at L1, 437.5 kHz at L2 — GLONASS/L1/initSettings.sci keys
+L1_IF_step / GLONASS_zero_channel).
+
+Frequency-channel indexing convention: registry "prn" p in 1..14 maps to
+FDMA channel k = p - 8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+L1_BASE_HZ = 1602.0e6
+L1_STEP_HZ = 562.5e3
+L2_BASE_HZ = 1246.0e6
+L2_STEP_HZ = 437.5e3
+CODE_FREQ = 0.511e6
+CODE_LENGTH = 511
+NUM_FREQ_CH = 14          # k = -7..6
+
+
+def prn_to_freq_ch(prn: int) -> int:
+    """Registry PRN index (1..14) -> FDMA frequency channel k (-7..6)."""
+    return prn - 8
+
+
+def freq_ch_to_prn(k: int) -> int:
+    return k + 8
+
+
+@functools.lru_cache(maxsize=1)
+def generate_st_code() -> np.ndarray:
+    """511-chip GLONASS ST code as ±1 int8.
+
+    9-stage LFSR over {-1,+1} (multiplication = XOR), feedback from stages
+    5 and 9, output from stage 7, all-(-1) seed; the emitted code is the
+    negated register output (generateSTcode.sci:35-42).
+    """
+    reg = -np.ones(9, np.int8)
+    out = np.empty(CODE_LENGTH, np.int8)
+    for i in range(CODE_LENGTH):
+        out[i] = reg[6]
+        feedback = reg[4] * reg[8]
+        reg[1:] = reg[:-1]
+        reg[0] = feedback
+    return (-out).astype(np.int8)
+
+
+def st_code_for_prn(prn: int) -> np.ndarray:
+    """All GLONASS satellites share the single ST code."""
+    return generate_st_code()
+
+
+def l1of_carrier(prn: int) -> float:
+    return L1_BASE_HZ + prn_to_freq_ch(prn) * L1_STEP_HZ
+
+
+def l2of_carrier(prn: int) -> float:
+    return L2_BASE_HZ + prn_to_freq_ch(prn) * L2_STEP_HZ

@@ -27,6 +27,8 @@ class SignalDef:
     bit_len_codes: int
     # Secondary (overlay) code, ±1 int8, or None.
     secondary: Optional[np.ndarray] = None
+    # FDMA: registry prn of the zero frequency channel (None = CDMA).
+    fdma_zero_prn: Optional[int] = None
     # Carrier-aiding divisor f_carrier / f_code.
     @property
     def aid_div(self) -> float:
@@ -51,7 +53,7 @@ def get_signal(name: str) -> SignalDef:
 
 
 def _register_builtin() -> None:
-    from gnsstpu.signals import gps_l1ca
+    from gnsstpu.signals import glonass, gps_l1ca
 
     register(
         SignalDef(
@@ -62,6 +64,32 @@ def _register_builtin() -> None:
             code_fn=gps_l1ca.generate_ca_code,
             num_prn=32,
             bit_len_codes=20,  # 50 bps LNAV over 1 ms codes
+        )
+    )
+    register(
+        SignalDef(
+            name="glonass_l1of",
+            carrier_freq=glonass.l1of_carrier,
+            code_freq=glonass.CODE_FREQ,
+            code_length=glonass.CODE_LENGTH,
+            code_fn=glonass.st_code_for_prn,
+            num_prn=glonass.NUM_FREQ_CH,
+            # 100 sps symbols (50 bps data x meander / time-mark bits):
+            # 10 code periods of 1 ms per symbol.
+            bit_len_codes=10,
+            fdma_zero_prn=8,
+        )
+    )
+    register(
+        SignalDef(
+            name="glonass_l2of",
+            carrier_freq=glonass.l2of_carrier,
+            code_freq=glonass.CODE_FREQ,
+            code_length=glonass.CODE_LENGTH,
+            code_fn=glonass.st_code_for_prn,
+            num_prn=glonass.NUM_FREQ_CH,
+            bit_len_codes=10,
+            fdma_zero_prn=8,
         )
     )
 

@@ -40,6 +40,9 @@ class SatParams:
     prn: int
     doppler_hz: float = 0.0          # carrier Doppler at t=0
     doppler_rate: float = 0.0        # [Hz/s]
+    # FDMA carrier offset from cfg.if_freq [Hz] (not Doppler: does NOT
+    # scale the code rate). GLONASS: k * L1_IF_step.
+    if_offset_hz: float = 0.0
     code_phase_chips: float = 0.0    # initial code delay tau in chips (>=0)
     carrier_phase: float = 0.0       # [rad]
     cn0_dbhz: float = 45.0           # carrier-to-noise density (vs sigma=1)
@@ -99,13 +102,14 @@ class IFSimulator:
         dchip = np.empty((S, n_ms))
         for i, s in enumerate(self.sats):
             f_carr = sd.carrier_freq(s.prn)
+            f_if = cfg.if_freq + s.if_offset_hz
             fd_t = s.doppler_hz + s.doppler_rate * t_b
             # Carrier phase in cycles at block start (f64, exact integral).
-            phase_cyc = ((cfg.if_freq + s.doppler_hz) * t_b
+            phase_cyc = ((f_if + s.doppler_hz) * t_b
                          + 0.5 * s.doppler_rate * t_b ** 2
                          + s.carrier_phase / (2 * np.pi))
             carr_frac[i] = np.mod(phase_cyc, 1.0)
-            fc_cyc[i] = (cfg.if_freq + fd_t) / cfg.fs
+            fc_cyc[i] = (f_if + fd_t) / cfg.fs
             rate_cyc[i] = s.doppler_rate / (cfg.fs * cfg.fs)
             # Absolute chip phase at block start (integral of chip rate).
             code_scale = 1.0 + (s.doppler_hz + 0.5 * s.doppler_rate * t_b) \

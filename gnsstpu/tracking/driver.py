@@ -122,7 +122,10 @@ def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         status=np.ones(C, bool),
         i_e=cat("ie"), q_e=cat("qe"), i_p=cat("ip"), q_p=cat("qp"),
         i_l=cat("il"), q_l=cat("ql"),
-        carr_freq=sig.if_freq + cat("carr_doppler").astype(np.float64),
+        carr_freq=(sig.if_freq
+                   + np.array([ch.if_offset_hz for ch in channels]
+                              )[:, None]
+                   + cat("carr_doppler").astype(np.float64)),
         code_freq=sig.code_freq + cat("code_freq_delta").astype(np.float64),
         abs_sample=abs_sample,
         dll_disc=cat("dll_disc"),

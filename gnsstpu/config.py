@@ -93,6 +93,12 @@ class TrackConfig:
     aid_div: float = 1540.0
     # Integration (code period) time [s] per loop update.
     pdi: float = 1e-3
+    # FLL discriminator: "atan2" (4-quadrant, widest pull-in; reference
+    # tracking.sci:292-299) or "atan" (2-quadrant decision-directed —
+    # immune to data/secondary-code sign flips between consecutive code
+    # periods, required for BeiDou D1 NH(20) whose symbol rate equals the
+    # code-period rate).
+    fll_disc: str = "atan2"
 
 
 @dataclasses.dataclass(frozen=True)

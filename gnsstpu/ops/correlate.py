@@ -159,3 +159,89 @@ def correlate_block(
         sample_pos=state.sample_pos + blksize,
     )
     return out, new_state
+
+
+def correlate_block_fast(
+    chunk: jax.Array,
+    code_rows: jax.Array,
+    base_carr_step_u32: jax.Array,
+    state: CorrState,
+    *,
+    blkmax: int,
+    spacing: float,
+    code_length: int,
+    base_code_step: float,
+    inv_fs: float,
+    phases_per_chip: int = 64,
+):
+    """TPU-fast variant of correlate_block.
+
+    Differences (both preserve the exact phase/NCO bookkeeping; only the
+    *sampled waveforms* are approximated at levels far below loop noise):
+      * carrier LO from the factored outer product (nco.lo_iq_factored)
+        instead of 2*blkmax transcendentals;
+      * E/P/L codes fetched as whole pre-sampled rows from the
+        phase-quantized table (code_tables.phase_row_table) — chip-phase
+        quantization 1/phases_per_chip chips, and the within-block chip
+        rate is the nominal one (the carrier-aided deviation reaches at
+        most ~5e-3 chips across a block) — instead of 3 per-sample
+        gathers. The rem_code_phase / pseudorange bookkeeping stays exact.
+
+    code_rows: int8/f32 [4*phases_per_chip, blkmax] for this channel.
+    """
+    f32 = jnp.float32
+    step = f32(base_code_step) + state.code_delta * f32(inv_fs)
+    blksize_f = jnp.ceil((f32(code_length) - state.rem_code_phase) / step)
+    blksize = jnp.clip(blksize_f.astype(jnp.int32), 1, blkmax)
+
+    window = jax.lax.dynamic_slice(
+        chunk, (state.sample_pos, jnp.int32(0)), (blkmax, 2))
+
+    carr_step = (
+        base_carr_step_u32.astype(jnp.uint32)
+        + nco.delta_freq_to_step_i32(state.carr_delta, 1.0 / inv_fs).astype(
+            jnp.uint32
+        )
+    )
+    lo_re, lo_im = nco.lo_iq_factored(state.carr_phase_u32, carr_step,
+                                      blkmax)
+    x_re, x_im = window[:, 0], window[:, 1]
+    bb_i = x_re * lo_re + x_im * lo_im
+    bb_q = x_im * lo_re - x_re * lo_im
+
+    mask = (jnp.arange(blkmax, dtype=jnp.int32)
+            < blksize).astype(f32)
+
+    ph = f32(phases_per_chip)
+    rows = 4 * phases_per_chip
+    codes = []
+    for off in (-spacing, 0.0, spacing):
+        p = jnp.round((state.rem_code_phase + f32(off) + f32(2.0)) * ph)
+        p = jnp.clip(p.astype(jnp.int32), 0, rows - 1)
+        row = jax.lax.dynamic_slice(code_rows, (p, jnp.int32(0)),
+                                    (1, blkmax))[0]
+        codes.append(row.astype(f32))
+    code_mat = jnp.stack(codes)                          # [3, blkmax]
+
+    bb = jnp.stack([bb_i * mask, bb_q * mask], axis=-1)   # [blkmax, 2]
+    acc = jnp.dot(code_mat, bb, preferred_element_type=f32)  # [3, 2]
+
+    new_rem = state.rem_code_phase + blksize.astype(f32) * step - f32(
+        code_length
+    )
+    new_carr_phase = (state.carr_phase_u32
+                      + blksize.astype(jnp.uint32) * carr_step)
+
+    out = BlockOut(
+        ie=acc[0, 0], qe=acc[0, 1],
+        ip=acc[1, 0], qp=acc[1, 1],
+        il=acc[2, 0], ql=acc[2, 1],
+        blksize=blksize,
+        rem_code_phase=new_rem,
+    )
+    new_state = state._replace(
+        rem_code_phase=new_rem,
+        carr_phase_u32=new_carr_phase,
+        sample_pos=state.sample_pos + blksize,
+    )
+    return out, new_state

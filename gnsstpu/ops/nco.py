@@ -59,3 +59,29 @@ def lo_iq(phase_u32):
     no complex dtype — see gnsstpu.ops.iq)."""
     ang = phase_u32_to_angle(phase_u32)
     return jnp.cos(ang), jnp.sin(ang)
+
+
+def lo_iq_factored(phase_u32, step_u32, n: int, b: int = 64):
+    """(cos, sin) of the ramp phase + k*step, k < n, via angle-sum
+    factorization k = a*b + r:
+
+        e^{i(phi + k s)} = e^{i(phi + a(bs))} * e^{i(r s)}
+
+    costs 2*(ceil(n/b) + b) transcendentals + one outer product instead of
+    2*n transcendentals — the dominant VPU cost of carrier wipeoff at TPU
+    block sizes. Exact: both partial angles come from wrapped uint32 phase
+    (the trig identity holds exactly; only f32 rounding ~1e-7 remains).
+
+    Returns (lo_cos [n], lo_sin [n]) f32.
+    """
+    a_n = -(-n // b)
+    ka = phase_u32 + jnp.arange(a_n, dtype=jnp.uint32) * (
+        jnp.uint32(b) * step_u32)
+    kr = jnp.arange(b, dtype=jnp.uint32) * step_u32
+    aa = phase_u32_to_angle(ka)
+    ar = phase_u32_to_angle(kr)
+    ca, sa = jnp.cos(aa), jnp.sin(aa)
+    cr, sr = jnp.cos(ar), jnp.sin(ar)
+    lo_c = (ca[:, None] * cr[None, :] - sa[:, None] * sr[None, :])
+    lo_s = (sa[:, None] * cr[None, :] + ca[:, None] * sr[None, :])
+    return (lo_c.reshape(-1)[:n], lo_s.reshape(-1)[:n])

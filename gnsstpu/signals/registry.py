@@ -80,6 +80,23 @@ def _register_builtin() -> None:
             fdma_zero_prn=8,
         )
     )
+    from gnsstpu.signals import beidou_b1
+
+    register(
+        SignalDef(
+            name="beidou_b1i",
+            carrier_freq=lambda prn: beidou_b1.CARRIER_HZ,
+            code_freq=beidou_b1.CODE_FREQ,
+            code_length=beidou_b1.CODE_LENGTH,
+            code_fn=beidou_b1.generate_b1i_code,
+            num_prn=beidou_b1.NUM_PRN,
+            # D1 symbols change every code period (data bit x NH chip):
+            # simulate at 1 code period per "bit"; the NH structure lives
+            # in nav.beidou.
+            bit_len_codes=1,
+            secondary=beidou_b1.NH_CODE,
+        )
+    )
     register(
         SignalDef(
             name="glonass_l2of",

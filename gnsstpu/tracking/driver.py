@@ -57,10 +57,13 @@ class TrackResults:
 
 
 def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
-          trk: TrackConfig, n_ms: int, chunk_ms: int = 256) -> TrackResults:
+          trk: TrackConfig, n_ms: int, chunk_ms: int = 256,
+          code_mode: str = "gather") -> TrackResults:
     """Track all channels for n_ms code periods.
 
     source: SampleSource (see gnsstpu.runtime.sources).
+    code_mode: "gather" (exact) or "table" (TPU-fast) — see
+    tracking.scan.make_tracker.
     """
     C = len(channels)
     spc = sig.samples_per_code
@@ -69,10 +72,15 @@ def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
     drift = int(np.ceil(n_ms * 1e-3 * 2e-5 * sig.fs)) + 64
     chunk_len = chunk_ms * spc + spc + drift + 2
 
-    padded = code_tables.padded_code_table(sig.signal)
-    codes = np.stack([padded[ch.prn - 1] for ch in channels]).astype(
-        np.float32)
-    codes_dev = jnp.asarray(codes)
+    if code_mode == "table":
+        tab = code_tables.phase_row_table(
+            sig.signal, sig.fs, sig.code_freq, sig.code_length, spc + 2)
+        codes_dev = jnp.asarray(
+            np.stack([tab[ch.prn - 1] for ch in channels]))
+    else:
+        padded = code_tables.padded_code_table(sig.signal)
+        codes_dev = jnp.asarray(np.stack(
+            [padded[ch.prn - 1] for ch in channels]).astype(np.float32))
 
     state = tscan.TrackState.init(
         np.array([ch.code_phase for ch in channels], np.int64),
@@ -84,7 +92,8 @@ def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         if_offsets_hz=[ch.if_offset_hz for ch in channels])
     consts = (jnp.asarray(carr_base), jnp.asarray(inv_aid))
 
-    tracker = tscan.make_tracker(sig, trk, n_blocks=chunk_ms)
+    tracker = tscan.make_tracker(sig, trk, n_blocks=chunk_ms,
+                                 code_mode=code_mode)
 
     n_chunks = int(np.ceil(n_ms / chunk_ms))
     outs = []

@@ -114,10 +114,17 @@ def channel_consts(sig: SignalConfig, trk: TrackConfig, prns,
 
 
 def make_tracker(sig: SignalConfig, trk: TrackConfig, *, n_blocks: int,
-                 blkmax: int | None = None):
+                 blkmax: int | None = None, code_mode: str = "gather"):
     """Build the jitted chunk tracker.
 
-    Returns track_chunk(chunk_c64[N], padded_codes_f32[C, L+2],
+    code_mode: "gather" (exact per-sample code indexing; reference
+    semantics) or "table" (TPU-fast phase-quantized rows + factored LO,
+    see ops.correlate.correlate_block_fast). The codes argument is the
+    padded code table [C, L+2] for "gather", or the phase-row table
+    [C, 4*PH, blkmax] int8 for "table"
+    (code_tables.phase_row_table rows for the tracked PRNs).
+
+    Returns track_chunk(chunk_iq[N, 2], codes,
                         consts: (carr_base_u32[C], inv_aid_f32[C]),
                         state: TrackState with [C] leaves)
       -> (new_state, TrackOut with [n_blocks, C] leaves).
@@ -130,25 +137,39 @@ def make_tracker(sig: SignalConfig, trk: TrackConfig, *, n_blocks: int,
     c_dll_p = f32(tau2 / tau1)
     c_dll_i = f32(trk.pdi / tau1)
     k1, k2, k3 = f32(k1), f32(k2), f32(k3)
-    corr = functools.partial(
-        correlate_block,
+    from gnsstpu.ops.correlate import correlate_block_fast
+
+    kw = dict(
         blkmax=blkmax,
         spacing=trk.el_spacing,
         code_length=sig.code_length,
         base_code_step=float(np.float64(sig.code_freq) / sig.fs),
         inv_fs=1.0 / sig.fs,
     )
+    if code_mode == "table":
+        corr = functools.partial(correlate_block_fast, **kw)
+    elif code_mode == "gather":
+        corr = functools.partial(correlate_block, **kw)
+    else:
+        raise ValueError(f"unknown code_mode {code_mode!r}")
 
     def one_block(chunk, padded_code, carr_base_u32, inv_aid,
                   st: TrackState):
         out, cs = corr(chunk, padded_code, carr_base_u32, st.corr)
 
         # FLL discriminator: cross/dot over consecutive prompts,
-        # normalized atan2/pi (tracking.sci:292-299).
+        # normalized atan2/pi (tracking.sci:292-299). The "atan" variant
+        # folds to 2 quadrants via sign(dot), making it invariant under a
+        # data/NH sign flip between the two prompts (flip negates both
+        # cross and dot) at half the pull-in range.
         i1, q1 = out.ip, out.qp
         cross = i1 * st.qp_prev - st.ip_prev * q1
-        dot = jnp.abs(i1 * st.ip_prev + q1 * st.qp_prev)
-        freq_err = jnp.arctan2(cross, dot) * f32(1.0 / np.pi)
+        dot = i1 * st.ip_prev + q1 * st.qp_prev
+        if trk.fll_disc == "atan":
+            freq_err = (jnp.arctan2(cross * jnp.sign(dot), jnp.abs(dot))
+                        * f32(1.0 / np.pi))
+        else:
+            freq_err = jnp.arctan2(cross, jnp.abs(dot)) * f32(1.0 / np.pi)
 
         # Costas phase discriminator atan(Q/I)/2pi (tracking.sci:302).
         denom = jnp.where(jnp.abs(i1) < 1e-10, f32(1e-10), i1)

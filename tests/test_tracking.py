@@ -78,6 +78,30 @@ def test_nav_bits_demodulated(tracked):
     assert agree == 1.0, f"nav bit agreement {agree}"
 
 
+def test_table_mode_matches_gather_mode(tracked):
+    """TPU-fast path (phase-row tables + factored LO) must track the same:
+    same lock, same nav bits, sub-sample agreement in code timing."""
+    sat, res = tracked
+    sim = IFSimulator(SIG, [sat], noise_sigma=1.0, seed=3)
+    src = SimSource(sim, N_MS + 50)
+    spchip = SIG.fs / SIG.code_freq
+    ch = ChannelInit(prn=9,
+                     code_phase=int(round(TRUE_CODE_PHASE_CHIPS * spchip)),
+                     doppler_hz=TRUE_DOPPLER + 60.0)
+    fast = track(src, [ch], SIG, TRK, N_MS, chunk_ms=200, code_mode="table")
+    # Same carrier solution to tight tolerance.
+    assert abs(np.mean(fast.carr_freq[0, 900:])
+               - np.mean(res.carr_freq[0, 900:])) < 0.5
+    # Identical demodulated nav bits after pull-in.
+    b_ref = np.sign(res.i_p[0, 600:].reshape(-1, 20).sum(axis=1))
+    b_fast = np.sign(fast.i_p[0, 600:].reshape(-1, 20).sum(axis=1))
+    agree = np.mean(b_ref * b_fast)
+    assert abs(agree) == 1.0
+    # Code timing (pseudorange proxy) within a quarter sample.
+    d = fast.abs_sample[0, 900:] - res.abs_sample[0, 900:]
+    assert np.max(np.abs(d)) < 0.25, np.max(np.abs(d))
+
+
 def test_absolute_sample_truth(tracked):
     sat, res = tracked
     # Truth: code period n starts at t = (1023*n + tau)/f_code_eff.

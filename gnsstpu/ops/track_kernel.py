@@ -52,25 +52,6 @@ NF = 9
 NOUT = 16                      # padded to 16 rows
 
 
-def _lo_factored(phase_u32, step_u32, blkp: int, b: int = 128):
-    """[1, blkp] (cos, sin) of phase + k*step via outer factorization."""
-    a_n = -(-blkp // b)
-    two_pi_scale = jnp.float32(2.0 * np.pi / 4294967296.0)
-    ka = (jax.lax.broadcasted_iota(jnp.uint32, (a_n, 1), 0)
-          * (jnp.uint32(b) * step_u32) + phase_u32)
-    kr = jax.lax.broadcasted_iota(jnp.uint32, (1, b), 1) * step_u32
-    # Mosaic has no u32->f32 cast; bitcast to i32 first. The i32 view
-    # differs from the u32 value by exactly 2^32 when negative, i.e. the
-    # angle differs by exactly 2*pi — cos/sin are unchanged.
-    aa = pltpu.bitcast(ka, jnp.int32).astype(jnp.float32) * two_pi_scale
-    ar = pltpu.bitcast(kr, jnp.int32).astype(jnp.float32) * two_pi_scale
-    ca, sa = jnp.cos(aa), jnp.sin(aa)
-    cr, sr = jnp.cos(ar), jnp.sin(ar)
-    lo_c = (ca * cr - sa * sr).reshape(1, a_n * b)[:, :blkp]
-    lo_s = (sa * cr + ca * sr).reshape(1, a_n * b)[:, :blkp]
-    return lo_c, lo_s
-
-
 def _atan(z):
     """arctan for Mosaic (no atan2/atan primitive): minimax polynomial on
     [0, 1] + reciprocal identity, max error ~1e-7 rad — far below
@@ -87,12 +68,18 @@ def _atan(z):
     return jnp.where(z < 0, -r, r)
 
 
-def _make_kernel(*, n_blocks: int, n_channels: int, blkp: int,
+def _make_kernel(*, n_blocks: int, n_channels: int, n_lanes: int,
+                 blkp: int,
                  code_length: int, phases_per_chip: int, d_samples: int,
                  span_chips: float, base_code_step: float, inv_fs: float,
                  fs: float, k1: float, k2: float, k3: float,
                  c_dll_p: float, c_dll_i: float):
+    # Mosaic requires the lane (last) dimension of every VMEM ref to be
+    # handled in 128-sized tiles; the channel axis rides the lanes, so all
+    # [*, C] refs are padded to CP = n_lanes (a multiple of 128) and the
+    # wrapper slices the first C lanes back out.
     C = n_channels
+    CP = n_lanes
     f32 = jnp.float32
     rows_total = int(round(2 * span_chips * phases_per_chip))
     ph_f = float(phases_per_chip)
@@ -132,45 +119,68 @@ def _make_kernel(*, n_blocks: int, n_channels: int, blkp: int,
             cstep_sm[c] = cstep[0, c]
             row_sm[c] = prow[0, c]
 
-        # ---- Phase A: per-channel correlation ----
+        # ---- Phase A: correlation, channels batched across sublanes ----
         # The TPU compiler supports dynamic slicing only on sublanes (and
-        # 128-aligned lanes), so the sample window is fetched with an
-        # aligned lane slice + dynamic roll; E/L come from the prompt code
-        # row rolled by +-d_samples (exactly d*code_step chips).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, blkp), 1)
-        sums = [[] for _ in range(6)]      # traced (1,1) accums per row
+        # 128-aligned lanes), so each channel's sample window is fetched
+        # with an aligned lane slice + dynamic roll; the windows, code
+        # rows, and NCO scalars are then stacked into [C, blkp] so the
+        # heavy elementwise work (LO trig, wipeoff, code multiply, lane
+        # reduction) runs across all channel sublanes at once instead of
+        # one VPU sublane at a time.
+        wins, prows = [], []
         for c in range(C):
             pos = pos_sm[c]
-            blkc = blk_sm[c]
-            cstep_c = cstep_sm[c]
-            phase0 = cphase_sm[c]
             al = pl.multiple_of((pos // 128) * 128, 128)
             off = pos - al
             # pltpu.roll needs shift >= 0: roll(x, -off) == roll(x, W-off).
-            win = pltpu.roll(chunk_ref[0:2, pl.ds(al, wide)],
-                             shift=wide - off, axis=1)
-            xi = win[0:1, :blkp]
-            xq = win[1:2, :blkp]
-            lo_c, lo_s = _lo_factored(phase0, cstep_c, blkp)
-            bb_i = xi * lo_c + xq * lo_s
-            bb_q = xq * lo_c - xi * lo_s
-            mask = (lane < blkc).astype(f32)
-            bb_i = bb_i * mask
-            bb_q = bb_q * mask
-            p_row = tab_ref[c, pl.ds(row_sm[c], 1), :]
-            # E[k] = P[k - d], L[k] = P[k + d] (wrap ends: <=d noise
-            # samples out of ~blkp, far below the accumulation noise).
-            e_row = pltpu.roll(p_row, shift=d_samples, axis=1)
-            l_row = pltpu.roll(p_row, shift=blkp - d_samples, axis=1)
-            for j, code in enumerate((e_row, p_row, l_row)):
-                sums[2 * j].append(jnp.sum(code * bb_i).reshape(1, 1))
-                sums[2 * j + 1].append(jnp.sum(code * bb_q).reshape(1, 1))
-            cphase_sm[c] = phase0 + blkc.astype(jnp.uint32) * cstep_c
-            pos_sm[c] = pos + blkc
+            wins.append(pltpu.roll(chunk_ref[0:2, pl.ds(al, wide)],
+                                   shift=wide - off, axis=1))
+            prows.append(tab_ref[c, pl.ds(row_sm[c], 1), :])
+            pos_sm[c] = pos + blk_sm[c]
+        xi = jnp.concatenate([w[0:1, :blkp] for w in wins], axis=0)
+        xq = jnp.concatenate([w[1:2, :blkp] for w in wins], axis=0)
+        p_rows = jnp.concatenate(prows, axis=0)            # [C, blkp]
 
-        # ---- Phase B: vectorized discriminators + loop filters [1, C] ----
-        ie, qe, ip, qp, il, ql = (
-            jnp.concatenate(s, axis=1) for s in sums)
+        ph_col = jnp.concatenate(
+            [cphase_sm[c].reshape(1, 1) for c in range(C)], axis=0)
+        step_col = jnp.concatenate(
+            [cstep_sm[c].reshape(1, 1) for c in range(C)], axis=0)
+        blk_col = jnp.concatenate(
+            [blk_sm[c].reshape(1, 1) for c in range(C)], axis=0)
+        for c in range(C):
+            cphase_sm[c] = (cphase_sm[c]
+                            + blk_sm[c].astype(jnp.uint32) * cstep_sm[c])
+
+        # Exact u32 NCO phase per (channel, sample): modular arithmetic on
+        # the lane iota; the i32 bitcast view differs by exactly 2^32 when
+        # negative = 2*pi in angle — cos/sin unchanged, |angle| <= pi so
+        # f32 precision is maximal.
+        iota_u = jax.lax.broadcasted_iota(jnp.uint32, (C, blkp), 1)
+        ang = ph_col + iota_u * step_col
+        a = (pltpu.bitcast(ang, jnp.int32).astype(f32)
+             * f32(2.0 * np.pi / 4294967296.0))
+        lo_c, lo_s = jnp.cos(a), jnp.sin(a)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (C, blkp), 1)
+                < blk_col).astype(f32)
+        bb_i = (xi * lo_c + xq * lo_s) * mask
+        bb_q = (xq * lo_c - xi * lo_s) * mask
+        # E[k] = P[k - d], L[k] = P[k + d] (static-shift circular roll;
+        # wrap feeds <=d noise samples out of ~blkp — far below the
+        # accumulation noise).
+        e_rows = pltpu.roll(p_rows, shift=d_samples, axis=1)
+        l_rows = pltpu.roll(p_rows, shift=blkp - d_samples, axis=1)
+        acc = jnp.concatenate([
+            jnp.sum(code * bb, axis=1, keepdims=True)
+            for code in (e_rows, p_rows, l_rows) for bb in (bb_i, bb_q)
+        ], axis=1)                                          # [C, 6]
+        acc_t = jnp.transpose(acc, (1, 0))                  # [6, C]
+
+        # ---- Phase B: vectorized discriminators + loop filters [1, CP] --
+        if CP == C:
+            acc_p = acc_t
+        else:
+            acc_p = jnp.pad(acc_t, ((0, 0), (0, CP - C)))
+        ie, qe, ip, qp, il, ql = (acc_p[j:j + 1, :] for j in range(6))
         ip_prev = fstate[_F_IP_PREV:_F_IP_PREV + 1, :]
         qp_prev = fstate[_F_QP_PREV:_F_QP_PREV + 1, :]
         cross = ip * qp_prev - ip_prev * qp
@@ -210,7 +220,7 @@ def _make_kernel(*, n_blocks: int, n_channels: int, blkp: int,
         fstate[_F_IP_PREV:_F_IP_PREV + 1, :] = ip
         fstate[_F_QP_PREV:_F_QP_PREV + 1, :] = qp
 
-        zero = jnp.zeros((1, C), f32)
+        zero = jnp.zeros((1, CP), f32)
         out_ref[:, :] = jnp.concatenate([
             ie, qe, ip, qp, il, ql, new_carr_delta, new_code_delta,
             new_rem, blk.astype(f32), code_err, code_nco, carr_err,
@@ -219,10 +229,16 @@ def _make_kernel(*, n_blocks: int, n_channels: int, blkp: int,
         @pl.when(i == n_blocks - 1)
         def _():
             ffin_ref[:, :] = fstate[:, :]
+            upad = ([] if CP == C else
+                    [jnp.zeros((1, CP - C), jnp.uint32)])
+            ipad = ([] if CP == C else
+                    [jnp.zeros((1, CP - C), jnp.int32)])
             cfin_ref[0:1, :] = jnp.concatenate(
-                [cphase_sm[c].reshape(1, 1) for c in range(C)], axis=1)
+                [cphase_sm[c].reshape(1, 1) for c in range(C)] + upad,
+                axis=1)
             posfin_ref[0:1, :] = jnp.concatenate(
-                [pos_sm[c].reshape(1, 1) for c in range(C)], axis=1)
+                [pos_sm[c].reshape(1, 1) for c in range(C)] + ipad,
+                axis=1)
 
     return kernel
 
@@ -243,13 +259,19 @@ def track_chunk_fused(chunk_t, tab, pos0, finit, cinit, consts, carrbase,
     window reads). d_samples: E/L offset in whole samples.
     """
     C = pos0.shape[0]
+    CP = -(-C // 128) * 128            # channel lanes padded for Mosaic
     k1, k2, k3, c_dll_p, c_dll_i = coefs
     kernel = _make_kernel(
-        n_blocks=n_blocks, n_channels=C, blkp=blkp,
+        n_blocks=n_blocks, n_channels=C, n_lanes=CP, blkp=blkp,
         code_length=code_length, phases_per_chip=phases_per_chip,
         d_samples=d_samples, span_chips=span_chips,
         base_code_step=base_code_step, inv_fs=1.0 / fs,
         fs=fs, k1=k1, k2=k2, k3=k3, c_dll_p=c_dll_p, c_dll_i=c_dll_i)
+
+    lane_pad = ((0, 0), (0, CP - C))
+    finit = jnp.pad(finit, lane_pad)
+    consts = jnp.pad(consts, lane_pad)
+    carrbase = jnp.pad(carrbase, lane_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                       # pos0, cinit
@@ -262,14 +284,14 @@ def track_chunk_fused(chunk_t, tab, pos0, finit, cinit, consts, carrbase,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # carrbase
         ],
         out_specs=(
-            pl.BlockSpec((1, NOUT, C), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, NOUT, CP), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NF, C), jnp.float32),        # fstate
+            pltpu.VMEM((NF, CP), jnp.float32),       # fstate
             pltpu.SMEM((C,), jnp.uint32),            # carrier phase
             pltpu.SMEM((C,), jnp.int32),             # pos
             pltpu.SMEM((C,), jnp.int32),             # blk
@@ -279,10 +301,10 @@ def track_chunk_fused(chunk_t, tab, pos0, finit, cinit, consts, carrbase,
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((n_blocks, NOUT, C), jnp.float32),
-        jax.ShapeDtypeStruct((NF, C), jnp.float32),
-        jax.ShapeDtypeStruct((1, C), jnp.uint32),
-        jax.ShapeDtypeStruct((1, C), jnp.int32),
+        jax.ShapeDtypeStruct((n_blocks, NOUT, CP), jnp.float32),
+        jax.ShapeDtypeStruct((NF, CP), jnp.float32),
+        jax.ShapeDtypeStruct((1, CP), jnp.uint32),
+        jax.ShapeDtypeStruct((1, CP), jnp.int32),
     )
 
     def fixed_out_kernel(pos0_sm, cinit_sm, chunk_ref, tab_ref, finit_ref,
@@ -293,9 +315,10 @@ def track_chunk_fused(chunk_t, tab, pos0, finit, cinit, consts, carrbase,
                consts_ref, carrbase_ref, out_ref.at[0], ffin_ref,
                cfin_ref, posfin_ref, *scratch)
 
-    return pl.pallas_call(
+    out, ffin, cfin, posfin = pl.pallas_call(
         fixed_out_kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
     )(pos0, cinit.reshape(-1), chunk_t, tab, finit, consts, carrbase)
+    return (out[:, :, :C], ffin[:, :C], cfin[:, :C], posfin[:, :C])

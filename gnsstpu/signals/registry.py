@@ -97,6 +97,24 @@ def _register_builtin() -> None:
             secondary=beidou_b1.NH_CODE,
         )
     )
+    from gnsstpu.signals import galileo_e1
+
+    register(
+        SignalDef(
+            name="galileo_e1b",
+            carrier_freq=lambda prn: galileo_e1.CARRIER_HZ,
+            # Composite BOC(1,1) replica at the half-chip ("meandr") rate
+            # so acquisition/simulation see the true spectrum; the
+            # double-estimator tracker (tracking.boc) splits code and
+            # subcarrier again.
+            code_freq=galileo_e1.SUB_FREQ,
+            code_length=galileo_e1.SUB_LENGTH,
+            code_fn=galileo_e1.composite_code,
+            num_prn=galileo_e1.NUM_PRN,
+            # 250 sps I/NAV symbols: one symbol per 4 ms code period.
+            bit_len_codes=1,
+        )
+    )
     register(
         SignalDef(
             name="glonass_l2of",

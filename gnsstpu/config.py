@@ -99,6 +99,11 @@ class TrackConfig:
     # periods, required for BeiDou D1 NH(20) whose symbol rate equals the
     # code-period rate).
     fll_disc: str = "atan2"
+    # Subcarrier lock loop (Galileo E1 double-estimator only; reference
+    # GALILEO/E1/initSettings.sci:100-103).
+    sll_bw: float = 0.5          # [Hz] meandr loop noise bandwidth
+    sll_damping: float = 0.7
+    sll_spacing: float = 0.1     # [meandr half-chips] SLL E-L offset
 
 
 @dataclasses.dataclass(frozen=True)

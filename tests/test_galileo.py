@@ -1,0 +1,165 @@
+"""Galileo E1B tests: Viterbi codec, I/NAV page codec, BOC closed loop.
+
+Mirrors the reference GALILEO/E1 receiver's verification points
+(findPageStart sync + decode_gll_data deinterleave/Viterbi) with the
+golden-fixture-by-construction strategy (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from gnsstpu.config import AcqConfig, SignalConfig, TrackConfig
+from gnsstpu.acquisition import acquire
+from gnsstpu.acquisition.search import acq_samples_needed
+from gnsstpu.nav import galileo as gal
+from gnsstpu.nav import viterbi
+from gnsstpu.runtime.sources import SimSource
+from gnsstpu.signals import galileo_e1
+from gnsstpu.sim import IFSimulator, SatParams
+from gnsstpu.tracking import ChannelInit
+from gnsstpu.tracking.boc import track_boc
+
+# fs deliberately non-commensurate with the chip rate (the reference
+# front end is 16.3676 MHz, ~8.0002 samples/half-chip): an integer
+# samples-per-half-chip lattice makes sub-sample E/L tap offsets
+# degenerate (identical floor indices -> zero discriminator).
+SIG = SignalConfig(signal="galileo_e1b", if_freq=0.0, fs=4.2e6,
+                   code_freq=galileo_e1.SUB_FREQ,
+                   code_length=galileo_e1.SUB_LENGTH)
+
+
+def test_viterbi_roundtrip():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 114).astype(np.int8)
+    syms = viterbi.conv_encode(bits)
+    assert syms.shape == (240,)
+    # Hard-decision decode, clean channel.
+    dec = viterbi.viterbi_decode(1.0 - 2.0 * syms)
+    assert np.array_equal(dec, bits)
+    # Soft decode with Gaussian noise.
+    soft = (1.0 - 2.0 * syms) + rng.normal(0, 0.6, 240)
+    assert np.array_equal(viterbi.viterbi_decode(soft), bits)
+    # A few hard symbol flips are corrected.
+    lv = (1.0 - 2.0 * syms).astype(float)
+    for k in (3, 77, 160):
+        lv[k] *= -1
+    assert np.array_equal(viterbi.viterbi_decode(lv), bits)
+
+
+def test_viterbi_reference_polys():
+    # The reference decoder's convention (decode_gll_data.sci:34-40):
+    # polys (133, 171), no inversion.
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 60).astype(np.int8)
+    polys, inv = (0o133, 0o171), (False, False)
+    syms = viterbi.conv_encode(bits, polys=polys, invert=inv)
+    dec = viterbi.viterbi_decode(1.0 - 2.0 * syms, polys=polys, invert=inv)
+    assert np.array_equal(dec, bits)
+
+
+def test_interleaver_inverse():
+    x = np.arange(240)
+    assert np.array_equal(gal.deinterleave(gal.interleave(x)), x)
+    # Matches the reference mapping y[j*8+i] = x[i*30+j]
+    # (decode_gll_data.sci:29-32, Scilab column-major reshape+transpose).
+    y = gal.deinterleave(x)
+    for i in range(8):
+        for j in range(30):
+            assert y[j * 8 + i] == x[i * 30 + j]
+
+
+def make_galeph():
+    return gal.GalileoEphemeris(
+        IODnav=61, t_oe=351000.0, M_0=0.654321, e=2.5e-4, sqrtA=5440.588,
+        omega_0=-1.0471975, i_0=0.9773844, omega=0.5235988,
+        iDot=-1.8e-10, omegaDot=-5.6e-9, deltan=3.2e-9,
+        C_uc=-8.5e-7, C_us=9.9e-6, C_rc=112.25, C_rs=-27.125,
+        SVID=11, C_ic=3.7e-8, C_is=-5.6e-8, t_oc=351000.0,
+        a_f0=-1.2e-4, a_f1=-7.9e-12, a_f2=0.0,
+        ai0=40.0, ai1=0.15, ai2=0.002, BGD_E1E5a=2.3e-9, BGD_E1E5b=2.8e-9,
+        WN=1042, TOW=351000,
+    )
+
+
+def test_inav_page_codec_roundtrip():
+    eph = make_galeph()
+    syms = gal.encode_frames(eph, tow0=351000, n_pages=5)
+    assert syms.shape == (5 * 500,)
+    start, pol = gal.find_page_start(syms * 900.0)
+    assert start == 0 and pol == 1
+    dec, tow = gal.decode_frames(syms * 900.0, 0)
+    assert dec.valid and tow == 351000
+    assert dec.IODnav == 61 and dec.SVID == 11 and dec.WN == 1042
+    for f, lsb in [("M_0", 2.0 ** -31 * gal.GAL_PI), ("e", 2.0 ** -33),
+                   ("sqrtA", 2.0 ** -19), ("t_oe", 60.0),
+                   ("omega_0", 2.0 ** -31 * gal.GAL_PI),
+                   ("omegaDot", 2.0 ** -43 * gal.GAL_PI),
+                   ("deltan", 2.0 ** -43 * gal.GAL_PI),
+                   ("C_rs", 2.0 ** -5), ("C_uc", 2.0 ** -29),
+                   ("a_f0", 2.0 ** -34), ("a_f1", 2.0 ** -46),
+                   ("BGD_E1E5b", 2.0 ** -32)]:
+        want = round(getattr(eph, f) / lsb) * lsb
+        assert getattr(dec, f) == pytest.approx(want, rel=1e-12,
+                                                abs=1e-30), f
+
+
+def test_inav_crc_rejects_corruption():
+    eph = make_galeph()
+    syms = gal.encode_frames(eph, tow0=0, n_pages=1)
+    # Flip enough symbols inside the even part's data to defeat the FEC
+    # (random burst), CRC must catch whatever the Viterbi emits.
+    bad = syms.copy()
+    rng = np.random.default_rng(3)
+    idx = rng.choice(np.arange(10, 250), 60, replace=False)
+    bad[idx] *= -1
+    ok, word = gal.decode_page_pair(bad)
+    assert not ok
+
+
+def test_e1b_closed_loop():
+    """Simulator -> acquisition -> double-estimator tracking -> I/NAV
+    decode, bit-exact ephemeris recovery (the reference's golden-run
+    strategy on a constructed fixture)."""
+    eph = make_galeph()
+    rng = np.random.default_rng(9)
+    filler = rng.choice([-1.0, 1.0], 380)
+    syms = np.concatenate([filler,
+                           gal.encode_frames(eph, tow0=123456, n_pages=5)])
+    sat = SatParams(prn=11, doppler_hz=1234.0, code_phase_chips=3210.5,
+                    cn0_dbhz=48.0, nav_bits=syms)
+    sim = IFSimulator(SIG, [sat], noise_sigma=1.0, seed=4)
+    n_blocks = len(syms) + 4
+    src = SimSource(sim, int((n_blocks + 4) * SIG.code_period_ms))
+
+    acq = AcqConfig(doppler_band=4e3, coherent_ms=1, threshold=2.2,
+                    doppler_step=75.0, prn_list=(11,))
+    res = acquire(src.read(0, acq_samples_needed(SIG, acq)), SIG, acq)
+    assert 11 in res.detected_prns()
+    # Code phase error <= 1 composite half-chip.
+    spchip = SIG.fs / SIG.code_freq
+    spc = SIG.samples_per_code
+    expect = (sat.code_phase_chips * spchip) % spc
+    err = (res.code_phase[10] - expect + spc / 2) % spc - spc / 2
+    assert abs(err) <= 2 * spchip
+
+    ch = ChannelInit(prn=11, code_phase=int(res.code_phase[10]),
+                     doppler_hz=float(res.carr_freq[10]))
+    trk = TrackConfig(dll_bw=1.0, el_spacing=0.25, pll_bw=15.0, fll_bw=50.0,
+                      sll_bw=0.5, sll_spacing=0.25, aid_div=1540.0)
+    tr = track_boc(src, [ch], SIG, trk, n_blocks, chunk_blocks=125)
+
+    # Carrier converged to the true Doppler.
+    assert abs(np.mean(tr.carr_freq[0, 800:]) - sat.doppler_hz) < 2.0
+    # SLL locked: meandr rate consistent with code rate x2.
+    assert abs(np.mean(tr.sub_freq[0, 800:] - 2 * tr.code_freq[0, 800:])) \
+        < 0.5
+
+    start, pol = gal.find_page_start(tr.i_pp[0, 300:])
+    assert start >= 0
+    dec, tow = gal.decode_frames(tr.i_pp[0, 300:], start)
+    assert dec.valid
+    assert dec.IODnav == 61 and dec.SVID == 11
+    lsb = 2.0 ** -19
+    assert dec.sqrtA == pytest.approx(round(eph.sqrtA / lsb) * lsb)
+    # TOW of the first decoded page maps back to the symbol index.
+    assert tow == 123456 + ((300 + start) - 380) // 250

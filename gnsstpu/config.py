@@ -60,8 +60,14 @@ class AcqConfig:
     # Coherent integration [code periods] (ref initSettings.sci:87).
     coherent_ms: int = 4
     # Noncoherent accumulations (1 = none; reference "weak" tier uses 15,
-    # acquisition.cpp:433).
+    # acquisition.cpp:433). >1 switches window combining from max to sum.
     noncoherent: int = 1
+    # Number of coherent windows searched (stride = coherent_ms); with
+    # noncoherent == 1 they are max-combined: 2 = the classic alternating
+    # bit-flip dodge (acquisition.sci:126-132), 7/4 with coherent_ms=3/5 =
+    # the COMPASS NH(20)-straddling schemes (COMPASS/B1/acquisition_7x3ms
+    # .sci, acquisition_4x5ms.sci). None -> 2, or `noncoherent` if > 1.
+    n_windows: Optional[int] = None
     # peak/second-peak detection threshold (ref initSettings.sci:84).
     threshold: float = 3.0
     # Doppler bin step [Hz]; None → 1000/(2*coherent_ms) like the reference

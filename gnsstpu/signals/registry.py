@@ -115,6 +115,21 @@ def _register_builtin() -> None:
             bit_len_codes=1,
         )
     )
+    from gnsstpu.signals import glonass_l3
+
+    register(
+        SignalDef(
+            name="glonass_l3oc",
+            carrier_freq=lambda prn: glonass_l3.CARRIER_HZ,
+            code_freq=glonass_l3.CODE_FREQ,
+            code_length=glonass_l3.CODE_LENGTH,
+            code_fn=glonass_l3.generate_l3_code,
+            num_prn=glonass_l3.NUM_PRN,
+            # Overlay chips (NH(10) pilot / Barker(5) x 200 sps data) change
+            # every 1 ms code period.
+            bit_len_codes=1,
+        )
+    )
     register(
         SignalDef(
             name="glonass_l2of",

@@ -32,11 +32,38 @@ class AcqResults:
         return [int(p) + 1 for p in np.nonzero(self.detected)[0]]
 
 
+def _windows_of(acq: AcqConfig) -> tuple:
+    """(n_windows, combine) from the tier config.
+
+    noncoherent > 1 -> sum-combined noncoherent accumulation (the
+    reference's weak tier, acquisition.cpp:433); otherwise max-combined
+    windows: 2 = alternating bit-flip dodge (acquisition.sci:126-132),
+    7/4 with coherent_ms=3/5 = the COMPASS NH-straddling schemes.
+    """
+    if acq.noncoherent > 1:
+        return acq.noncoherent, "sum"
+    return (acq.n_windows or 2), "max"
+
+
 def acq_samples_needed(sig: SignalConfig, acq: AcqConfig) -> int:
-    """Leading samples acquire() consumes (2 coherent windows + tail)."""
+    """Leading samples acquire() consumes (B coherent windows + tail)."""
     spc = sig.samples_per_code
-    return acq.coherent_ms * spc + fft_acquire.window_len(
+    B, _ = _windows_of(acq)
+    return (B - 1) * acq.coherent_ms * spc + fft_acquire.window_len(
         spc, acq.coherent_ms)
+
+
+def _stack_windows(samples_iq: np.ndarray, spc: int, acq: AcqConfig):
+    """[B, Lw, 2] coherent windows at stride coherent_ms code periods."""
+    B, combine = _windows_of(acq)
+    L = acq.coherent_ms * spc
+    Lw = fft_acquire.window_len(spc, acq.coherent_ms)
+    need = (B - 1) * L + Lw
+    if samples_iq.shape[0] < need:
+        raise ValueError(f"need >= {need} samples for {B} x "
+                         f"{acq.coherent_ms} ms coherent windows")
+    blocks = np.stack([samples_iq[k * L: k * L + Lw] for k in range(B)])
+    return jnp.asarray(blocks, jnp.float32), combine
 
 
 def acquire(samples_iq: np.ndarray, sig: SignalConfig, acq: AcqConfig,
@@ -49,16 +76,10 @@ def acquire(samples_iq: np.ndarray, sig: SignalConfig, acq: AcqConfig,
     """
     sd = get_signal(sig.signal)
     spc = sig.samples_per_code
-    L = acq.coherent_ms * spc
-    Lw = fft_acquire.window_len(spc, acq.coherent_ms)
-    if samples_iq.shape[0] < L + Lw:
-        raise ValueError(
-            f"need >= {L + Lw} samples for {acq.coherent_ms} ms coherent x2"
-        )
-    # Two alternating coherent windows (bit-flip dodge), each with one
-    # extra code period of tail for linear-correlation lags.
-    blocks = jnp.asarray(np.stack([
-        samples_iq[:Lw], samples_iq[L:L + Lw]]), jnp.float32)
+    # B coherent windows at stride coherent_ms, each with one extra code
+    # period of tail for linear-correlation lags; max-combined (bit/NH
+    # dodge) or sum-combined (noncoherent weak tier).
+    blocks, combine = _stack_windows(samples_iq, spc, acq)
 
     fd_re, fd_im = fft_acquire.code_fd_table(
         sig.signal, sig.fs, sig.code_freq, sig.code_length, acq.coherent_ms)
@@ -71,7 +92,7 @@ def acquire(samples_iq: np.ndarray, sig: SignalConfig, acq: AcqConfig,
 
     cube = fft_acquire.acquire_cube(
         blocks, jnp.asarray(fd_re), jnp.asarray(fd_im), dopp_dev,
-        sig.fs, spc, combine="max")
+        sig.fs, spc, combine=combine)
     spchip = round(sig.fs / sig.code_freq)
     m = fft_acquire.peak_metrics(
         cube, samples_per_code=spc, samples_per_chip=spchip)
@@ -110,12 +131,7 @@ def acquire_fdma(samples_iq: np.ndarray, sig: SignalConfig, acq: AcqConfig
     """
     sd = get_signal(sig.signal)
     spc = sig.samples_per_code
-    L = acq.coherent_ms * spc
-    Lw = fft_acquire.window_len(spc, acq.coherent_ms)
-    if samples_iq.shape[0] < L + Lw:
-        raise ValueError(f"need >= {L + Lw} samples")
-    blocks = jnp.asarray(np.stack([
-        samples_iq[:Lw], samples_iq[L:L + Lw]]), jnp.float32)
+    blocks, combine = _stack_windows(samples_iq, spc, acq)
 
     fd_re, fd_im = fft_acquire.code_fd_table(
         sig.signal, sig.fs, sig.code_freq, sig.code_length, acq.coherent_ms)
@@ -133,7 +149,7 @@ def acquire_fdma(samples_iq: np.ndarray, sig: SignalConfig, acq: AcqConfig
 
     cube = fft_acquire.acquire_cube(
         blocks, jnp.asarray(fd_re), jnp.asarray(fd_im),
-        jnp.asarray(grid, jnp.float32), sig.fs, spc, combine="max")
+        jnp.asarray(grid, jnp.float32), sig.fs, spc, combine=combine)
     cube = cube.reshape(K, D, spc)
     spchip = round(sig.fs / sig.code_freq)
     m = fft_acquire.peak_metrics(

@@ -84,6 +84,35 @@ class AcqConfig:
     def num_doppler_bins(self) -> int:
         return round(self.doppler_band / self.doppler_bin_step()) + 1
 
+    # --- acquisition tiers (reference objects/acquisition.cpp:244/309/433:
+    # strong = 1 ms coherent; medium = 10 ms coherent; weak = 10 ms
+    # coherent x 15 noncoherent over a 310 ms buffer) and the COMPASS
+    # NH(20)-straddling schemes (COMPASS/B1/acquisition_7x3ms.sci,
+    # acquisition_4x5ms.sci, selected by acqMode in postProcessing.sce:
+    # 106-112) ---
+
+    def strong(self, **kw) -> "AcqConfig":
+        return dataclasses.replace(self, coherent_ms=1, noncoherent=1,
+                                   n_windows=None, **kw)
+
+    def medium(self, **kw) -> "AcqConfig":
+        return dataclasses.replace(self, coherent_ms=10, noncoherent=1,
+                                   n_windows=None, **kw)
+
+    def weak(self, noncoherent: int = 15, **kw) -> "AcqConfig":
+        return dataclasses.replace(self, coherent_ms=10,
+                                   noncoherent=noncoherent, **kw)
+
+    def nh_7x3(self, **kw) -> "AcqConfig":
+        """BeiDou D1 NH(20) straddling: 7 x 3 ms max-combined windows."""
+        return dataclasses.replace(self, coherent_ms=3, noncoherent=1,
+                                   n_windows=7, **kw)
+
+    def nh_4x5(self, **kw) -> "AcqConfig":
+        """BeiDou D1 NH(20) straddling: 4 x 5 ms max-combined windows."""
+        return dataclasses.replace(self, coherent_ms=5, noncoherent=1,
+                                   n_windows=4, **kw)
+
 
 @dataclasses.dataclass(frozen=True)
 class TrackConfig:

@@ -59,6 +59,51 @@ def st_code_for_prn(prn: int) -> np.ndarray:
     return generate_st_code()
 
 
+P_CODE_FREQ = 5.11e6
+P_CODE_LENGTH = 5_110_000      # truncated to 1 s
+
+
+def generate_p_code(n_chips: int = P_CODE_LENGTH) -> np.ndarray:
+    """GLONASS P ("VT") code as ±1 int8, first n_chips of the 1 s code.
+
+    Spec per the reference L2 receiver's library
+    (GLONASS/L2/include/generatePcode.sci:14-22): 25-stage LFSR over
+    {-1,+1}, feedback = stage3 * stage25, output stage 25, all-(-1) seed,
+    emitted chips negated, truncated at 5,110,000 chips (1 s @ 5.11 Mcps).
+
+    TPU-first implementation detail: instead of the reference's 5.11M-step
+    scalar loop, the m-sequence recurrence b[n] = b[n-3] ^ b[n-25]
+    (characteristic polynomial 1 + x^3 + x^25) is repeatedly squared over
+    GF(2) — p(x)^(2^k) = 1 + x^(3*2^k) + x^(25*2^k) also annihilates the
+    sequence — so each numpy step extends the sequence by 3*2^k chips
+    (geometric growth, ~100 vector ops for the full second).
+    """
+    if not 1 <= n_chips <= P_CODE_LENGTH:
+        raise ValueError("n_chips must be in 1..5110000")
+    # Bootstrap the first 25 output bits with the direct register model
+    # (bit 1 == chip level -1 before the final negation).
+    reg = np.ones(25, np.uint8)            # all -1 in ±1 form
+    seed = np.empty(25, np.uint8)
+    for i in range(25):
+        seed[i] = reg[24]
+        fb = reg[2] ^ reg[24]
+        reg[1:] = reg[:-1]
+        reg[0] = fb
+    b = np.empty(n_chips, np.uint8)
+    n = min(25, n_chips)
+    b[:n] = seed[:n]
+    L = n
+    while L < n_chips:
+        # Largest squared recurrence usable with L known terms.
+        k = max(0, int(np.floor(np.log2(L / 25))))
+        a3, a25 = 3 << k, 25 << k
+        ext = min(a3, n_chips - L)
+        b[L:L + ext] = b[L - a3:L - a3 + ext] ^ b[L - a25:L - a25 + ext]
+        L += ext
+    # chip = -(g1-style ±1 output): bit 1 (-1 level) -> +1 chip.
+    return (2 * b.astype(np.int8) - 1).astype(np.int8)
+
+
 def l1of_carrier(prn: int) -> float:
     return L1_BASE_HZ + prn_to_freq_ch(prn) * L1_STEP_HZ
 

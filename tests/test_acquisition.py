@@ -59,3 +59,65 @@ def test_acquisition_rejects_noise_only():
     noise = rng.standard_normal((n, 2)).astype(np.float32)
     res = acquire(noise, SIG, ACQ)
     assert res.detected_prns() == []
+
+
+def test_weak_tier_noncoherent_gain():
+    """Reference weak tier (10 ms coherent x K noncoherent sum,
+    acquisition.cpp:433): a signal invisible to the strong 1 ms tier must
+    be detected with noncoherent accumulation."""
+    from gnsstpu.acquisition.search import acq_samples_needed
+
+    sat = SatParams(prn=9, doppler_hz=525.0, code_phase_chips=300.25,
+                    cn0_dbhz=27.0)
+    sim = IFSimulator(SIG, [sat], noise_sigma=1.0, seed=13)
+
+    base = AcqConfig(doppler_band=2e3, threshold=2.2, prn_list=(9,))
+    strong = base.strong()
+    weak = base.weak(noncoherent=12)
+    samples = sim.generate(
+        int(np.ceil(acq_samples_needed(SIG, weak) / (SIG.fs * 1e-3))) + 1)
+
+    r_strong = acquire(samples[:acq_samples_needed(SIG, strong)], SIG,
+                       strong)
+    r_weak = acquire(samples, SIG, weak)
+    assert 9 not in r_strong.detected_prns()
+    assert 9 in r_weak.detected_prns()
+    # Code phase still correct at 27 dB-Hz.
+    spc = SIG.samples_per_code
+    expect = (sat.code_phase_chips * SIG.fs / SIG.code_freq) % spc
+    err = (r_weak.code_phase[8] - expect + spc / 2) % spc - spc / 2
+    assert abs(err) <= 2.0
+
+
+def test_beidou_nh_straddle_tiers():
+    """COMPASS NH(20)-aware acquisition (acquisition_7x3ms.sci /
+    acquisition_4x5ms.sci): with the D1 NH overlay flipping signs every
+    code period, the 7x3 ms and 4x5 ms max-combined schemes must still
+    acquire with full-strength metric."""
+    from gnsstpu.acquisition.search import acq_samples_needed
+    from gnsstpu.signals import beidou_b1
+    from gnsstpu.signals.beidou_b1 import NH_CODE
+
+    bsig = SignalConfig(signal="beidou_b1i", if_freq=0.0, fs=8.192e6,
+                        code_freq=beidou_b1.CODE_FREQ,
+                        code_length=beidou_b1.CODE_LENGTH)
+    # D1 stream: data bits at 20 ms each, NH(20) chipping per code period.
+    rng = np.random.default_rng(21)
+    data = rng.choice([-1.0, 1.0], 40)
+    overlay = (np.repeat(data, 20)
+               * np.tile(NH_CODE.astype(np.float32), len(data)))
+    sat = SatParams(prn=14, doppler_hz=-860.0, code_phase_chips=777.5,
+                    cn0_dbhz=46.0, nav_bits=overlay)
+    sim = IFSimulator(bsig, [sat], noise_sigma=1.0, seed=17)
+
+    base = AcqConfig(doppler_band=3e3, threshold=2.2, prn_list=(14,))
+    spc = bsig.samples_per_code
+    expect = (sat.code_phase_chips * bsig.fs / bsig.code_freq) % spc
+    for acq in (base.nh_7x3(), base.nh_4x5()):
+        samples = sim.generate(
+            int(np.ceil(acq_samples_needed(bsig, acq)
+                        / (bsig.fs * 1e-3))) + 1)
+        res = acquire(samples, bsig, acq)
+        assert 14 in res.detected_prns(), acq
+        err = (res.code_phase[13] - expect + spc / 2) % spc - spc / 2
+        assert abs(err) <= 2.0, acq

@@ -162,3 +162,26 @@ def test_fdma_tracking_and_string_decode(fdma_tracked):
         # just confirm a decode of the following string data works when
         # enough data remains.
     assert True
+
+def test_p_code_matches_register_model():
+    """The vectorized GF(2) leap-forward generation must be chip-exact
+    against the direct 25-stage register model
+    (GLONASS/L2/include/generatePcode.sci:14-22)."""
+    from gnsstpu.signals.glonass import P_CODE_LENGTH, generate_p_code
+
+    n = 70000
+    reg = -np.ones(25, np.int8)
+    ref = np.empty(n, np.int8)
+    for i in range(n):
+        ref[i] = reg[24]
+        fb = reg[2] * reg[24]
+        reg[1:] = reg[:-1]
+        reg[0] = fb
+    ref = -ref
+    got = generate_p_code(n)
+    assert np.array_equal(got, ref)
+    # Full-length generation: balanced m-sequence prefix, right length.
+    full = generate_p_code()
+    assert full.shape == (P_CODE_LENGTH,)
+    assert abs(int(full.astype(np.int64).sum())) < 6000
+    assert np.array_equal(full[:n], ref)

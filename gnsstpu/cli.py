@@ -1,0 +1,225 @@
+"""Command-line interface: acquire / track / solve / simulate / bench.
+
+The framework's operator surface — the role of the reference's run scripts
+and argv handling (Scilab init.sce entry, realtime main/init.cpp:104-224
+Parse_Arguments with source/mode flags). Subcommands:
+
+  simulate  — synthesize an IF file from a scenario (the framework's
+              glonass_l3_generator.sce equivalent, any registered signal)
+  acquire   — cold FFT search on an IF file, print per-PRN results
+  track     — acquire + track n ms, write a JSONL telemetry log and an
+              optional checkpoint
+  solve     — full chain to a position fix (GPS L1)
+  bench     — run the repo benchmark
+
+Usage: python -m gnsstpu <subcommand> [...], see --help per subcommand.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _sig_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--signal", default="gps_l1ca")
+    p.add_argument("--fs", type=float, default=16.0e6)
+    p.add_argument("--if-freq", type=float, default=2.42e6)
+    p.add_argument("--format", default="i8_iq",
+                   choices=["i8_iq", "i8", "i16_iq", "c64"])
+    p.add_argument("--skip-samples", type=int, default=0)
+
+
+def _sig_config(args):
+    from gnsstpu.config import SignalConfig
+    from gnsstpu.signals.registry import get_signal
+
+    sd = get_signal(args.signal)
+    return SignalConfig(signal=args.signal, fs=args.fs,
+                        if_freq=args.if_freq, code_freq=sd.code_freq,
+                        code_length=sd.code_length)
+
+
+def _acq_config(args):
+    from gnsstpu.config import AcqConfig
+
+    return AcqConfig(doppler_band=args.band, coherent_ms=args.coherent,
+                     noncoherent=args.noncoherent,
+                     threshold=args.threshold,
+                     fine_doppler_ms=args.fine_doppler)
+
+
+def _acq_args(p):
+    p.add_argument("--band", type=float, default=14e3)
+    p.add_argument("--coherent", type=int, default=2)
+    p.add_argument("--noncoherent", type=int, default=1)
+    p.add_argument("--threshold", type=float, default=2.5)
+    p.add_argument("--fine-doppler", type=int, default=10)
+
+
+def cmd_acquire(args) -> int:
+    from gnsstpu.acquisition import acquire
+    from gnsstpu.acquisition.search import acq_samples_needed, acquire_fdma
+    from gnsstpu.runtime.sources import FileSource
+    from gnsstpu.signals.registry import get_signal
+
+    sig = _sig_config(args)
+    acq = _acq_config(args)
+    src = FileSource(args.file, fmt=args.format,
+                     skip_samples=args.skip_samples)
+    samples = src.read(0, acq_samples_needed(sig, acq))
+    fn = acquire_fdma if get_signal(args.signal).fdma_zero_prn else acquire
+    res = fn(samples, sig, acq)
+    for i in np.argsort(-res.peak_metric):
+        if res.peak_metric[i] < 1.5:
+            continue
+        print(json.dumps({
+            "prn": int(i) + 1, "metric": round(float(res.peak_metric[i]), 2),
+            "detected": bool(res.detected[i]),
+            "code_phase": int(res.code_phase[i]),
+            "carr_freq_hz": round(float(res.carr_freq[i]), 1)}))
+    return 0
+
+
+def cmd_track(args) -> int:
+    from gnsstpu.config import ReceiverConfig, TrackConfig
+    from gnsstpu.runtime.manager import ChannelManager
+    from gnsstpu.runtime.sources import FileSource
+    from gnsstpu.runtime.telemetry import Telemetry
+
+    sig = _sig_config(args)
+    cfg = ReceiverConfig(signal=sig, acq=_acq_config(args),
+                         track=TrackConfig(dll_bw=args.dll_bw),
+                         n_channels=args.channels)
+    src = FileSource(args.file, fmt=args.format,
+                     skip_samples=args.skip_samples)
+    sink = open(args.log, "w") if args.log else sys.stdout
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=args.epoch_ms)
+    recs = mgr.run(args.ms)
+    if args.checkpoint:
+        import jax
+
+        from gnsstpu.runtime import checkpoint
+
+        checkpoint.save(args.checkpoint,
+                        state=jax.tree.map(np.asarray, mgr._state),
+                        meta={"ms_done": args.ms,
+                              "prns": [s.prn for s in mgr.slots]})
+    if args.log:
+        sink.close()
+    live = [int(p) for p in (recs[-1].prn if recs else []) if p]
+    print(f"tracked {args.ms} ms; live PRNs at end: {live}")
+    return 0
+
+
+def cmd_solve(args) -> int:
+    from gnsstpu.config import AcqConfig, ReceiverConfig
+    from gnsstpu.runtime.receiver import run_receiver
+    from gnsstpu.runtime.sources import FileSource
+
+    sig = _sig_config(args)
+    cfg = ReceiverConfig(signal=sig, acq=_acq_config(args),
+                         n_channels=args.channels, ms_to_process=args.ms)
+    src = FileSource(args.file, fmt=args.format,
+                     skip_samples=args.skip_samples)
+    out = run_receiver(src, cfg, n_ms=args.ms)
+    print(f"acquired: {out.acq.detected_prns()}")
+    print(f"ephemerides decoded: {sorted(out.ephs)}")
+    if out.nav is not None and len(out.nav.lat_deg):
+        print(json.dumps({
+            "lat_deg": float(np.mean(out.nav.lat_deg)),
+            "lon_deg": float(np.mean(out.nav.lon_deg)),
+            "h_m": float(np.mean(out.nav.h_m)),
+            "epochs": int(len(out.nav.lat_deg))}))
+        return 0
+    print("no position fix")
+    return 1
+
+
+def cmd_simulate(args) -> int:
+    from gnsstpu.config import SignalConfig
+    from gnsstpu.sim import IFSimulator, SatParams
+
+    sig = _sig_config(args)
+    rng = np.random.default_rng(args.seed)
+    sats = []
+    for spec in args.sat:
+        prn, dopp, phase, cn0 = (spec.split(":") + ["45"])[:4]
+        nav = rng.choice([-1.0, 1.0], 1500).astype(np.float32)
+        sats.append(SatParams(prn=int(prn), doppler_hz=float(dopp),
+                              code_phase_chips=float(phase),
+                              cn0_dbhz=float(cn0), nav_bits=nav))
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=args.seed)
+    with open(args.out, "wb") as f:
+        for ms0 in range(0, args.ms, 256):
+            n = min(256, args.ms - ms0)
+            blk = sim.generate(n, ms0)
+            q = np.clip(np.round(blk * args.scale), -127, 127
+                        ).astype(np.int8)
+            q.reshape(-1).tofile(f)
+    print(f"wrote {args.ms} ms ({args.ms * sim.block_samples} samples) "
+          f"to {args.out} (i8_iq)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gnsstpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("acquire", help="cold acquisition on an IF file")
+    p.add_argument("file")
+    _sig_args(p)
+    _acq_args(p)
+    p.set_defaults(fn=cmd_acquire)
+
+    p = sub.add_parser("track", help="acquire + track with the manager")
+    p.add_argument("file")
+    _sig_args(p)
+    _acq_args(p)
+    p.add_argument("--ms", type=int, default=5000)
+    p.add_argument("--channels", type=int, default=8)
+    p.add_argument("--epoch-ms", type=int, default=100)
+    p.add_argument("--dll-bw", type=float, default=1.0)
+    p.add_argument("--log", default=None, help="telemetry JSONL path")
+    p.add_argument("--checkpoint", default=None, help=".npz state path")
+    p.set_defaults(fn=cmd_track)
+
+    p = sub.add_parser("solve", help="full chain to a position fix")
+    p.add_argument("file")
+    _sig_args(p)
+    _acq_args(p)
+    p.add_argument("--ms", type=int, default=40000)
+    p.add_argument("--channels", type=int, default=8)
+    p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser("simulate", help="write a synthetic IF file")
+    p.add_argument("out")
+    _sig_args(p)
+    p.add_argument("--sat", action="append", required=True,
+                   metavar="PRN:DOPPLER:CODEPHASE[:CN0]")
+    p.add_argument("--ms", type=int, default=2000)
+    p.add_argument("--scale", type=float, default=24.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("bench", help="run the repo benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -70,6 +70,10 @@ class AcqConfig:
     n_windows: Optional[int] = None
     # peak/second-peak detection threshold (ref initSettings.sci:84).
     threshold: float = 3.0
+    # Post-detection fine-Doppler estimate: ms of code-wiped signal for
+    # the squared-signal FFT (reference Channel::FrequencyLock,
+    # objects/channel.cpp:359-417). 0 = off (hand off the coarse bin).
+    fine_doppler_ms: int = 0
     # Doppler bin step [Hz]; None → 1000/(2*coherent_ms) like the reference
     # (acquisition.sci:101-104).
     doppler_step: Optional[float] = None

@@ -1,0 +1,291 @@
+"""Channel manager: acquisition scheduling, lock supervision, re-acquisition.
+
+The runtime orchestration layer — the framework's equivalent of the
+reference's SV_Select + Channel life-cycle machinery:
+  * free-channel scan and acquisition requests
+    (objects/sv_select.cpp:189-263),
+  * lock supervision and channel teardown on loss of lock
+    (Channel::Error/Kill, objects/channel.cpp:945,988; osgnss falls back
+    PULL_IN -> ACQUISITION on timeout, osgpsisr.c:651-670),
+  * re-queue of dropped SVs for later re-acquisition,
+  * Patience-style stall watchdog on the sample source
+    (objects/patience.cpp:80-104).
+
+TPU-first structure: the device tracks a fixed [C]-slot channel bank (one
+scan program, vmapped over slots — slot count never changes, so nothing
+recompiles); the manager runs on the host at epoch boundaries (default
+100 ms), where it reads back prompt statistics, assesses lock
+(tracking.lock), swaps PRNs in and out of slots, and emits telemetry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnsstpu.acquisition import acquire
+from gnsstpu.acquisition.search import acq_samples_needed
+from gnsstpu.config import ReceiverConfig
+from gnsstpu.ops import code_tables
+from gnsstpu.runtime.telemetry import Telemetry
+from gnsstpu.signals.registry import get_signal
+from gnsstpu.tracking import lock as tlock
+from gnsstpu.tracking import scan as tscan
+
+
+class SlotState(enum.Enum):
+    IDLE = "idle"
+    TRACKING = "tracking"
+
+
+@dataclasses.dataclass
+class Slot:
+    state: SlotState = SlotState.IDLE
+    prn: int = 0
+    bad_epochs: int = 0
+    started_ms: int = 0
+
+
+@dataclasses.dataclass
+class EpochRecord:
+    """Per-epoch per-slot observables kept by the manager."""
+
+    epoch_ms: int
+    prn: np.ndarray           # [C] (0 = idle)
+    cn0_dbhz: np.ndarray      # [C]
+    pll_lock: np.ndarray      # [C]
+    doppler_hz: np.ndarray    # [C]
+
+
+class ChannelManager:
+    """Supervises a fixed bank of tracking slots over a sample source."""
+
+    def __init__(self, source, cfg: ReceiverConfig,
+                 telemetry: Optional[Telemetry] = None,
+                 epoch_ms: int = 100, drop_after_epochs: int = 3,
+                 reacq_period_ms: int = 500,
+                 cn0_drop_dbhz: float = 32.0,
+                 prn_pool: Optional[List[int]] = None,
+                 stall_timeout_s: float = 30.0):
+        self.source = source
+        self.cfg = cfg
+        self.sig = cfg.signal
+        self.sd = get_signal(self.sig.signal)
+        self.tlm = telemetry or Telemetry()
+        self.epoch_ms = epoch_ms
+        self.drop_after = drop_after_epochs
+        self.reacq_period_ms = reacq_period_ms
+        self.cn0_drop = cn0_drop_dbhz
+        self.pool = list(prn_pool if prn_pool is not None
+                         else range(1, self.sd.num_prn + 1))
+        self.stall_timeout_s = stall_timeout_s
+
+        C = cfg.n_channels
+        self.slots = [Slot() for _ in range(C)]
+        spc = self.sig.samples_per_code
+        self._padded = code_tables.padded_code_table(self.sig.signal)
+        self._codes = np.zeros((C, self.sig.code_length + 2), np.float32)
+        self._tracker = tscan.make_tracker(self.sig, cfg.track,
+                                           n_blocks=epoch_ms)
+        self._state = tscan.TrackState.init(
+            np.zeros(C, np.int64), np.zeros(C, np.float32),
+            aid_div=cfg.track.aid_div)
+        cb, ia = tscan.channel_consts(self.sig, cfg.track, [1] * C)
+        self._carr_base, self._inv_aid = cb, ia      # host copies [C]
+        self._abs_pos = np.zeros(C, np.float64)    # per-slot next sample
+        self._cursor = 0                           # epoch base sample
+        self._next_reacq_ms = 0
+        self._drift_margin = 64 + int(np.ceil(
+            epoch_ms * 1e-3 * 2e-5 * self.sig.fs))
+        self.records: List[EpochRecord] = []
+        self.history: Dict[int, dict] = {}         # prn -> prompt streams
+
+    # --- slot control ---
+
+    def _alloc(self, slot_idx: int, prn: int, code_phase: int,
+               doppler_hz: float, epoch_ms: int) -> None:
+        s = self.slots[slot_idx]
+        s.state = SlotState.TRACKING
+        s.prn = prn
+        s.bad_epochs = 0
+        s.started_ms = epoch_ms
+        self._codes[slot_idx] = self._padded[prn - 1]
+        # FDMA: this slot's carrier base and aid divisor follow the PRN's
+        # frequency channel (reference GLONASS/L1/initSettings.sci
+        # L1_IF_step).
+        off = 0.0
+        if self.sd.fdma_zero_prn is not None:
+            off = (self.sd.carrier_freq(prn)
+                   - self.sd.carrier_freq(self.sd.fdma_zero_prn))
+        cb1, ia1 = tscan.channel_consts(self.sig, self.cfg.track, [prn],
+                                        if_offsets_hz=[off])
+        self._carr_base[slot_idx] = cb1[0]
+        self._inv_aid[slot_idx] = ia1[0]
+        # sample_pos is rewritten (chunk-relative) every epoch; init 0.
+        z = tscan.TrackState.init(
+            np.zeros(1, np.int64),
+            np.array([doppler_hz], np.float32),
+            aid_div=self.cfg.track.aid_div)
+        self._state = jax.tree.map(
+            lambda full, one: jnp.asarray(np.concatenate(
+                [np.asarray(full)[:slot_idx], np.asarray(one),
+                 np.asarray(full)[slot_idx + 1:]])),
+            self._state, z)
+        self._abs_pos[slot_idx] = code_phase
+        self.history.setdefault(prn, {
+            "i_p": [], "q_p": [], "carr_doppler": [], "abs_sample": [],
+            "start_ms": epoch_ms})
+        self.tlm.event(epoch_ms, "channel_start", chan=slot_idx, prn=prn,
+                       code_phase=code_phase,
+                       doppler_hz=round(float(doppler_hz), 1))
+
+    def _drop(self, slot_idx: int, epoch_ms: int, why: str) -> None:
+        s = self.slots[slot_idx]
+        self.tlm.event(epoch_ms, "channel_drop", chan=slot_idx, prn=s.prn,
+                       why=why)
+        s.state = SlotState.IDLE
+        s.prn = 0
+        s.bad_epochs = 0
+
+    def _tracked_prns(self) -> set:
+        return {s.prn for s in self.slots if s.state is SlotState.TRACKING}
+
+    # --- acquisition scheduling (SV_Select::Acquire equivalent) ---
+
+    def _try_acquire(self, epoch_ms: int) -> None:
+        idle = [i for i, s in enumerate(self.slots)
+                if s.state is SlotState.IDLE]
+        want = [p for p in self.pool if p not in self._tracked_prns()]
+        if not idle or not want:
+            return
+        acq_cfg = dataclasses.replace(self.cfg.acq, prn_list=tuple(want))
+        need = acq_samples_needed(self.sig, acq_cfg)
+        samples = self.source.read(self._cursor, need)
+        if not np.any(samples):
+            return
+        fdma = self.sd.fdma_zero_prn is not None
+        if fdma:
+            from gnsstpu.acquisition.search import acquire_fdma
+            res = acquire_fdma(samples, self.sig, acq_cfg)
+        else:
+            res = acquire(samples, self.sig, acq_cfg)
+        order = np.argsort(-res.peak_metric)
+        for i in order:
+            prn = int(i) + 1
+            if not res.detected[i] or prn in self._tracked_prns():
+                continue
+            if not idle:
+                break
+            slot = idle.pop(0)
+            dopp = float(res.carr_freq[i]) - self.sig.if_freq
+            if fdma:   # Doppler relative to this PRN's own channel carrier
+                dopp -= (self.sd.carrier_freq(prn)
+                         - self.sd.carrier_freq(self.sd.fdma_zero_prn))
+            self._alloc(slot, prn,
+                        code_phase=self._cursor + int(res.code_phase[i]),
+                        doppler_hz=dopp, epoch_ms=epoch_ms)
+
+    # --- main loop ---
+
+    def run(self, n_ms: int) -> List[EpochRecord]:
+        spc = self.sig.samples_per_code
+        chunk_len = self.epoch_ms * spc + spc + self._drift_margin + 2
+        n_epochs = n_ms // self.epoch_ms
+        last_progress = time.monotonic()
+
+        for e in range(n_epochs):
+            epoch_ms = e * self.epoch_ms
+            if epoch_ms >= self._next_reacq_ms:
+                self._try_acquire(epoch_ms)
+                self._next_reacq_ms = epoch_ms + self.reacq_period_ms
+
+            active = [i for i, s in enumerate(self.slots)
+                      if s.state is SlotState.TRACKING]
+            if not active:
+                # Nothing tracking: advance the cursor one epoch.
+                self._cursor += self.epoch_ms * spc
+                self._watchdog(last_progress)
+                continue
+
+            # Park idle slots at the epoch base so their sample_pos stays
+            # in range; rebase active slots.
+            base = int(min(self._abs_pos[i] for i in active))
+            for i, s in enumerate(self.slots):
+                if s.state is SlotState.IDLE:
+                    self._abs_pos[i] = base
+            chunk = self.source.read(base, chunk_len)
+            if not np.any(chunk[: self.epoch_ms * spc]):
+                self.tlm.event(epoch_ms, "end_of_data")
+                break
+            rel = np.round(self._abs_pos - base).astype(np.int64)
+            self._state = self._state._replace(
+                corr=self._state.corr._replace(
+                    sample_pos=jnp.asarray(rel, jnp.int32)))
+            consts = (jnp.asarray(self._carr_base),
+                      jnp.asarray(self._inv_aid))
+            self._state, out = self._tracker(
+                jnp.asarray(chunk), jnp.asarray(self._codes),
+                consts, self._state)
+            out = jax.tree.map(np.asarray, out)
+            blk = out.blksize.astype(np.float64)          # [E, C]
+            ends = base + rel[None, :] + np.cumsum(blk, axis=0)
+            self._abs_pos = ends[-1]
+            self._cursor = base + self.epoch_ms * spc
+            last_progress = time.monotonic()
+
+            status = tlock.assess(
+                out.ie.T, out.qe.T, out.ip.T, out.qp.T, out.il.T, out.ql.T,
+                t_int_s=self.sig.code_period_s,
+                cn0_drop_dbhz=self.cn0_drop, m=min(20, self.epoch_ms))
+            dopp = out.carr_doppler[-1]
+            rec = EpochRecord(
+                epoch_ms=epoch_ms,
+                prn=np.array([s.prn for s in self.slots]),
+                cn0_dbhz=status.cn0_dbhz, pll_lock=status.pll_lock,
+                doppler_hz=dopp)
+            self.records.append(rec)
+
+            rem = out.rem_code_phase.astype(np.float64)   # [E, C]
+            abs_samp = (ends - rem * (self.sig.fs / self.sig.code_freq))
+            for i in active:
+                s = self.slots[i]
+                h = self.history[s.prn]
+                h["i_p"].append(out.ip[:, i].copy())
+                h["q_p"].append(out.qp[:, i].copy())
+                h["carr_doppler"].append(out.carr_doppler[:, i].copy())
+                h["abs_sample"].append(abs_samp[:, i].copy())
+                self.tlm.channel_health(
+                    epoch_ms, i, s.prn, s.state.value,
+                    float(status.cn0_dbhz[i]), float(dopp[i]),
+                    float(status.pll_lock[i]))
+                if s.started_ms + self.epoch_ms >= epoch_ms:
+                    continue          # grace epoch while loops pull in
+                if not status.locked[i]:
+                    s.bad_epochs += 1
+                    if s.bad_epochs >= self.drop_after:
+                        self._drop(i, epoch_ms, why="loss_of_lock")
+                else:
+                    s.bad_epochs = 0
+        return self.records
+
+    def _watchdog(self, last_progress: float) -> None:
+        """Patience equivalent: a live source that stops producing for
+        stall_timeout_s raises instead of hanging the pipeline."""
+        if time.monotonic() - last_progress > self.stall_timeout_s:
+            self.tlm.event(-1, "watchdog_stall")
+            raise TimeoutError(
+                f"sample source stalled > {self.stall_timeout_s}s")
+
+    # --- history accessors ---
+
+    def prompt_stream(self, prn: int) -> dict:
+        """Concatenated per-PRN prompt history (np arrays)."""
+        h = self.history[prn]
+        return {k: (np.concatenate(v) if isinstance(v, list) else v)
+                for k, v in h.items()}

@@ -121,3 +121,20 @@ def test_beidou_nh_straddle_tiers():
         assert 14 in res.detected_prns(), acq
         err = (res.code_phase[13] - expect + spc / 2) % spc - spc / 2
         assert abs(err) <= 2.0, acq
+
+
+def test_fine_doppler_refinement():
+    """Squared-prompt fine-frequency stage (Channel::FrequencyLock
+    equivalent): refine a coarse bin to within a few Hz, through data-bit
+    flips."""
+    from gnsstpu.acquisition.search import refine_doppler
+
+    rng = np.random.default_rng(5)
+    bits = rng.choice([-1.0, 1.0], 64)
+    sat = SatParams(prn=22, doppler_hz=1843.0, code_phase_chips=0.0,
+                    cn0_dbhz=45.0, nav_bits=bits)
+    sim = IFSimulator(SIG, [sat], noise_sigma=1.0, seed=19)
+    samples = sim.generate(14)
+    # Coarse handoff off by 117 Hz (half a 250 Hz bin + change).
+    fine = refine_doppler(samples, SIG, 22, 0, 1843.0 - 117.0, k_ms=12)
+    assert abs(fine - 1843.0) < 5.0

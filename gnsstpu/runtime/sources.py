@@ -50,15 +50,22 @@ class ArraySource:
 class FileSource:
     """Raw IF sample file source.
 
-    Formats (reference initSettings.sci fileType / defines.h):
-      'i8_iq'  — interleaved signed 8-bit I,Q pairs (fileType 2)
-      'i8'     — signed 8-bit real samples (fileType 1)
-      'i16_iq' — interleaved signed 16-bit I,Q
-      'c64'    — raw complex64
+    Formats (reference initSettings.sci fileType / defines.h; packed
+    front-end formats decoded by the native codec library,
+    gnsstpu.native):
+      'i8_iq'       — interleaved signed 8-bit I,Q pairs (fileType 2)
+      'i8'          — signed 8-bit real samples (fileType 1)
+      'i16_iq'      — interleaved signed 16-bit I,Q
+      'c64'         — raw complex64
+      'gn3s_2bit'   — 1 byte/sample: I bits 1:0, Q bits 3:2, LUT
+                      {-3,-1,+1,+3} (gps_source.cpp:692)
+      'packed_4bit' — CPLD-packed real: LE u16 words of 4 x 4-bit
+                      sign/mag samples (data_packer.vhd)
     """
 
     _ITEM = {"i8_iq": (np.int8, 2), "i8": (np.int8, 1),
-             "i16_iq": (np.int16, 2), "c64": (np.complex64, 1)}
+             "i16_iq": (np.int16, 2), "c64": (np.complex64, 1),
+             "gn3s_2bit": (np.uint8, 1), "packed_4bit": (np.uint16, 1)}
 
     def __init__(self, path: str, fmt: str = "i8_iq", skip_samples: int = 0):
         if fmt not in self._ITEM:
@@ -68,23 +75,41 @@ class FileSource:
         self.skip = skip_samples
         dtype, per = self._ITEM[fmt]
         self._dtype, self._per = dtype, per
-        self._bytes_per_sample = np.dtype(dtype).itemsize * per
-        self._n = os.path.getsize(path) // self._bytes_per_sample - skip_samples
+        if fmt == "packed_4bit":
+            size = os.path.getsize(path)
+            self._n = size // 2 * 4 - skip_samples
+        else:
+            self._bytes_per_sample = np.dtype(dtype).itemsize * per
+            self._n = (os.path.getsize(path) // self._bytes_per_sample
+                       - skip_samples)
 
     def read(self, start: int, count: int) -> np.ndarray:
+        from gnsstpu import native
+
         start += self.skip
+        out = np.zeros((count, 2), np.float32)
+        if self.fmt == "packed_4bit":
+            w0, w1 = start // 4, -(-(start + count) // 4)
+            raw = np.fromfile(self.path, dtype=np.uint16,
+                              count=w1 - w0, offset=2 * w0)
+            dec = native.decode_packed_4bit(raw)
+            got = dec[start - 4 * w0: start - 4 * w0 + count]
+            out[: len(got)] = got
+            return out
         raw = np.fromfile(
             self.path, dtype=self._dtype,
             count=count * self._per,
             offset=start * self._bytes_per_sample)
         n = len(raw) // self._per
-        out = np.zeros((count, 2), np.float32)
         if self.fmt == "c64":
             out[:n, 0] = raw[:n].real
             out[:n, 1] = raw[:n].imag
-        elif self._per == 2:
-            out[:n, 0] = raw[: 2 * n : 2]
-            out[:n, 1] = raw[1 : 2 * n : 2]
+        elif self.fmt == "gn3s_2bit":
+            out[:n] = native.decode_gn3s_2bit(raw[:n])
+        elif self.fmt == "i8_iq":
+            out[:n] = native.decode_i8_iq(raw[: 2 * n])
+        elif self.fmt == "i16_iq":
+            out[:n] = native.decode_i16_iq(raw[: 2 * n])
         else:
             out[:n, 0] = raw[:n]
         return out

@@ -104,3 +104,44 @@ def test_sharded_tracking_matches_single_device(sim_samples):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(ref_state), jax.tree.leaves(got_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_timeblock_long_coherent_matches_oracle():
+    """Time-block sharded long coherent acquisition (overlap-save halo via
+    ppermute + psum coherent combine) must match the single-device oracle
+    and find the right code phase with full coherent gain."""
+    import jax.numpy as jnp
+
+    from gnsstpu.parallel.mesh import make_mesh
+    from gnsstpu.parallel.timeblock import (long_coherent_acquire,
+                                            reference_coherent_power)
+
+    sig = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+    sat = SatParams(prn=3, doppler_hz=100.0, code_phase_chips=412.5,
+                    cn0_dbhz=50.0)
+    sim = IFSimulator(sig, [sat], noise_sigma=0.2, seed=23)
+    k = 8
+    samples = sim.generate(k + 2)
+    prns = [3, 9]
+    dopp = np.array([-150.0, 100.0, 350.0])
+
+    mesh = make_mesh([("time", 4)])
+    cube = np.asarray(long_coherent_acquire(
+        samples, sig, prns, dopp, mesh, k_periods=k))
+    want = reference_coherent_power(samples, sig, prns, dopp, k)
+
+    # f32 sharded vs f64 oracle.
+    scale = want.max()
+    assert np.allclose(cube / scale, want / scale, atol=2e-3)
+    # Peak at the true (prn, doppler, code phase).
+    p, d, c = np.unravel_index(np.argmax(cube), cube.shape)
+    assert (p, d) == (0, 1)
+    spc = sig.samples_per_code
+    expect = (sat.code_phase_chips * sig.fs / sig.code_freq) % spc
+    err = (c - expect + spc / 2) % spc - spc / 2
+    assert abs(err) <= 2.0
+    # Degenerate 1-block mesh also works (tail-only halo path).
+    mesh1 = make_mesh([("time", 1)])
+    cube1 = np.asarray(long_coherent_acquire(
+        samples, sig, prns, dopp, mesh1, k_periods=k))
+    assert np.allclose(cube1 / scale, want / scale, atol=2e-3)

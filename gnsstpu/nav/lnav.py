@@ -169,11 +169,16 @@ def _subframe_words(eph: Ephemeris, sf_id: int) -> List[np.ndarray]:
 
 
 def encode_subframe(eph: Ephemeris, sf_id: int, tow_next: int,
-                    d29s: int, d30s: int) -> Tuple[np.ndarray, int, int]:
+                    d29s: int, d30s: int,
+                    page_words: Optional[List[np.ndarray]] = None
+                    ) -> Tuple[np.ndarray, int, int]:
     """Encode one 300-bit subframe.
 
     tow_next: 17-bit truncated TOW (units of 6 s) of the *next* subframe
     start, as carried in the HOW (ephemeris.sci TOW convention).
+    page_words: optional 8 x 24-bit source words for words 3..10
+    (subframe 4/5 almanac/iono pages, see nav.almanac); default content
+    comes from `eph` per sf_id.
     Returns (bits[300], d29s, d30s) with the parity chain carried through.
     """
     words: List[np.ndarray] = []
@@ -197,7 +202,8 @@ def encode_subframe(eph: Ephemeris, sf_id: int, tow_next: int,
         break
     words.append(tx)
     d29s, d30s = int(tx[28]), int(tx[29])
-    for data in _subframe_words(eph, sf_id):
+    for data in (page_words if page_words is not None
+                 else _subframe_words(eph, sf_id)):
         tx = encode_word(data, d29s, d30s)
         words.append(tx)
         d29s, d30s = int(tx[28]), int(tx[29])
@@ -227,28 +233,20 @@ def encode_frames(eph: Ephemeris, tow0: int = 0, n_subframes: int = 5,
 # Decoder
 # ---------------------------------------------------------------------------
 
-def decode_subframes(bits01: np.ndarray, d30_star: int = 0
-                     ) -> Tuple[Ephemeris, Optional[int]]:
-    """Decode ephemeris from >=5 consecutive subframes of 0/1 bits.
+def checked_subframes(bits01: np.ndarray, d30_star: int = 0):
+    """Parity-checked subframe walk shared by the ephemeris and the
+    almanac/page decoders.
 
-    bits01 must start at a subframe boundary (preamble first bit); the two
-    bits before it give d30_star for the first word's polarity (pass the
-    value or 0 if the stream starts cold — the TLM word then self-corrects
-    via parity failure... the reference instead always has 2 spare bits,
-    findPreambles.sci:62 subtracts 40ms; here we accept d30_star directly).
-
-    Returns (Ephemeris, TOW-of-first-subframe-start in seconds) following
-    ephemeris.sci:71-228 conventions (angles in semicircles scaled to rad).
+    Yields (subframe_index, sf_id, tow_next6, d[192]) for every subframe
+    whose 10 words all pass Hamming(32,26) parity with the D29*/D30*
+    chain carried across words (ephemeris.sci / navPartyChk semantics);
+    d holds the polarity-corrected source bits of words 3..10.
     """
     b = np.asarray(bits01, np.int8)
     n_sf = len(b) // 300
-    eph = Ephemeris()
-    tow_s: Optional[int] = None
-    got = set()
     d29s, d30s = 0, int(d30_star)
     for s in range(n_sf):
         sf = b[s * 300:(s + 1) * 300]
-        # Verify parity of all 10 words, carrying the chain.
         words = []
         ok = True
         for wi in range(10):
@@ -266,11 +264,30 @@ def decode_subframes(bits01: np.ndarray, d30_star: int = 0
         how = words[1]
         sf_id = _unsigned(how[19:22])
         tow_next6 = _unsigned(how[:17])
+        yield s, sf_id, tow_next6, np.concatenate(words[2:])
+
+
+def decode_subframes(bits01: np.ndarray, d30_star: int = 0
+                     ) -> Tuple[Ephemeris, Optional[int]]:
+    """Decode ephemeris from >=5 consecutive subframes of 0/1 bits.
+
+    bits01 must start at a subframe boundary (preamble first bit); the two
+    bits before it give d30_star for the first word's polarity (pass the
+    value or 0 if the stream starts cold — the TLM word then self-corrects
+    via parity failure... the reference instead always has 2 spare bits,
+    findPreambles.sci:62 subtracts 40ms; here we accept d30_star directly).
+
+    Returns (Ephemeris, TOW-of-first-subframe-start in seconds) following
+    ephemeris.sci:71-228 conventions (angles in semicircles scaled to rad).
+    """
+    eph = Ephemeris()
+    tow_s: Optional[int] = None
+    got = set()
+    for s, sf_id, tow_next6, d in checked_subframes(bits01, d30_star):
         if tow_s is None:
             # TOW in HOW is for the NEXT subframe; first subframe start =
             # (tow_next - 1) * 6 - s*6 ... relative to stream start.
             tow_s = ((tow_next6 - 1 - s) % 100800) * 6
-        d = np.concatenate(words[2:])  # 192 source bits, words 3..10
         pi = np.pi
         if sf_id == 1:
             eph.week = _unsigned(d[0:10])

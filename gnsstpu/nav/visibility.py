@@ -46,7 +46,8 @@ def predict(ephs: Dict[int, Ephemeris], t_gps_s: float,
     pos1, _ = orbits.satpos(np.full(len(prns), t_gps_s + 0.5), eph_list)
     for i, prn in enumerate(prns):
         mid = 0.5 * (pos0[i] + pos1[i])
-        az, el, dist = geodesy.topocent(rx_ecef, mid - rx_ecef)
+        az, el, dist = (np.asarray(v).reshape(-1)[0] for v in
+                        geodesy.topocent(rx_ecef, mid - rx_ecef))
         r0 = np.linalg.norm(pos0[i] - rx_ecef)
         r1 = np.linalg.norm(pos1[i] - rx_ecef)
         rate = r1 - r0                       # m/s over 1 s

@@ -1,0 +1,115 @@
+"""Subframe 4/5 page codec tests: almanac and iono/UTC roundtrip,
+almanac-driven visibility warm start.
+
+Fixture-by-construction (SURVEY.md §4): encode pages through the real
+parity chain, decode through the real checked-subframe walk, require
+quantization-exact field recovery (the realtime receiver's
+ephemeris.cpp:425/:314 decode role).
+"""
+
+import numpy as np
+import pytest
+
+from gnsstpu.nav import almanac as alm_mod
+from gnsstpu.nav import lnav
+from gnsstpu.nav.almanac import Almanac, IonoUtc
+from gnsstpu.nav.types import Ephemeris
+
+
+def make_almanac(prn: int) -> Almanac:
+    return Almanac(
+        prn=prn, e=0.0123, t_oa=319488.0, delta_i=0.02 * np.pi / 4,
+        omegaDot=-8.1e-9, health=0, sqrtA=5153.6,
+        omega_0=1.25 + 0.01 * prn, omega=-0.75,
+        M_0=((0.5 * prn - 2.0 + np.pi) % (2 * np.pi)) - np.pi,
+        a_f0=-3.2e-5, a_f1=1.8e-12)
+
+
+def make_ionoutc() -> IonoUtc:
+    return IonoUtc(
+        alpha0=1.1176e-8, alpha1=-7.4506e-9, alpha2=-5.9605e-8,
+        alpha3=1.1921e-7, beta0=90112.0, beta1=-32768.0, beta2=-196608.0,
+        beta3=-65536.0, A1=-8.88e-15, A0=3.26e-9, t_ot=405504.0,
+        WN_t=138, dt_ls=18, WN_lsf=137, DN=7, dt_lsf=18)
+
+
+def encode_pages_stream(pages, tow0=1000):
+    """Encode a 4/5 subframe stream carrying the given page word lists."""
+    d29s = d30s = 0
+    bits = []
+    eph = Ephemeris()
+    for k, (sf_id, words) in enumerate(pages):
+        sf, d29s, d30s = lnav.encode_subframe(
+            eph, sf_id, (tow0 + k + 1) % 100800, d29s, d30s,
+            page_words=words)
+        bits.append(sf)
+    return np.concatenate(bits)
+
+
+def test_almanac_page_roundtrip():
+    alms = {p: make_almanac(p) for p in (1, 7, 24, 32)}
+    iu = make_ionoutc()
+    pages = ([(5, alm_mod.almanac_page_words(a)) for a in alms.values()]
+             + [(4, alm_mod.iono_utc_page_words(iu))])
+    bits = encode_pages_stream(pages)
+    got_alms, got_iu = alm_mod.decode_pages(bits)
+    assert sorted(got_alms) == [1, 7, 24, 32]
+    for p, a in alms.items():
+        g = got_alms[p]
+        for field, lsb in [
+                ("e", 2.0 ** -21), ("t_oa", 2.0 ** 12),
+                ("delta_i", 2.0 ** -19 * np.pi),
+                ("omegaDot", 2.0 ** -38 * np.pi),
+                ("sqrtA", 2.0 ** -11), ("omega_0", 2.0 ** -23 * np.pi),
+                ("omega", 2.0 ** -23 * np.pi),
+                ("M_0", 2.0 ** -23 * np.pi),
+                ("a_f0", 2.0 ** -20), ("a_f1", 2.0 ** -38)]:
+            want = round(getattr(a, field) / lsb) * lsb
+            assert getattr(g, field) == pytest.approx(
+                want, rel=1e-12, abs=1e-30), (p, field)
+    assert got_iu is not None
+    for field, lsb in [
+            ("alpha0", 2.0 ** -30), ("alpha1", 2.0 ** -27),
+            ("alpha2", 2.0 ** -24), ("alpha3", 2.0 ** -24),
+            ("beta0", 2.0 ** 11), ("beta1", 2.0 ** 14),
+            ("beta2", 2.0 ** 16), ("beta3", 2.0 ** 16),
+            ("A1", 2.0 ** -50), ("A0", 2.0 ** -30), ("t_ot", 2.0 ** 12)]:
+        want = round(getattr(iu, field) / lsb) * lsb
+        assert getattr(got_iu, field) == pytest.approx(
+            want, rel=1e-12, abs=1e-30), field
+    for field in ("WN_t", "dt_ls", "WN_lsf", "DN", "dt_lsf"):
+        assert getattr(got_iu, field) == getattr(iu, field)
+
+
+def test_corrupted_page_rejected():
+    bits = encode_pages_stream(
+        [(5, alm_mod.almanac_page_words(make_almanac(9)))])
+    bad = bits.copy()
+    bad[100] ^= 1          # parity break in word 4
+    alms, _ = alm_mod.decode_pages(bad)
+    assert 9 not in alms
+
+
+def test_almanac_visibility_warm_start():
+    """Almanac -> reduced ephemeris -> SV_Predict-style az/el/Doppler:
+    the satellite placed overhead must predict visible with small
+    Doppler; an orthogonal-plane one must be masked (sv_select.cpp
+    SV_Predict role)."""
+    from gnsstpu.config import SPEED_OF_LIGHT
+    from gnsstpu.nav import visibility
+    from gnsstpu.nav.orbits import satpos
+
+    alm = make_almanac(3)
+    eph = alm.to_ephemeris()
+    t = alm.t_oa
+    pos, _ = satpos(np.array([t]), [eph])
+    # Receiver directly under the satellite (scaled to Earth surface).
+    rx = pos[0] / np.linalg.norm(pos[0]) * 6371e3
+    preds = visibility.predict({3: eph}, t, rx, carrier_hz=1575.42e6,
+                               mask_deg=10.0)
+    p = preds[0]
+    assert p.visible and p.el_deg > 80.0
+    assert abs(p.doppler_hz) < 1200.0      # near-zenith: small range rate
+    # Receiver on the opposite side of the Earth: not visible.
+    preds2 = visibility.predict({3: eph}, t, -rx, carrier_hz=1575.42e6)
+    assert not preds2[0].visible

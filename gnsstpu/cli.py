@@ -32,6 +32,25 @@ def _sig_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--format", default="i8_iq",
                    choices=["i8_iq", "i8", "i16_iq", "c64"])
     p.add_argument("--skip-samples", type=int, default=0)
+    p.add_argument("--source-fs", type=float, default=None,
+                   help="raw file sample rate; when it differs from --fs "
+                        "the stream is rate-converted on the fly (the "
+                        "reference resamples every front end to 2.048 "
+                        "Msps, gps_source.cpp:436)")
+    p.add_argument("--resample-mode", default="polyphase",
+                   choices=["polyphase", "nearest"])
+
+
+def _file_source(args):
+    from gnsstpu.ops.resample import ResampledSource
+    from gnsstpu.runtime.sources import FileSource
+
+    src = FileSource(args.file, fmt=args.format,
+                     skip_samples=args.skip_samples)
+    if args.source_fs and args.source_fs != args.fs:
+        src = ResampledSource(src, args.source_fs, args.fs,
+                              mode=args.resample_mode)
+    return src
 
 
 def _sig_config(args):
@@ -64,13 +83,11 @@ def _acq_args(p):
 def cmd_acquire(args) -> int:
     from gnsstpu.acquisition import acquire
     from gnsstpu.acquisition.search import acq_samples_needed, acquire_fdma
-    from gnsstpu.runtime.sources import FileSource
     from gnsstpu.signals.registry import get_signal
 
     sig = _sig_config(args)
     acq = _acq_config(args)
-    src = FileSource(args.file, fmt=args.format,
-                     skip_samples=args.skip_samples)
+    src = _file_source(args)
     samples = src.read(0, acq_samples_needed(sig, acq))
     fn = acquire_fdma if get_signal(args.signal).fdma_zero_prn else acquire
     res = fn(samples, sig, acq)
@@ -88,15 +105,13 @@ def cmd_acquire(args) -> int:
 def cmd_track(args) -> int:
     from gnsstpu.config import ReceiverConfig, TrackConfig
     from gnsstpu.runtime.manager import ChannelManager
-    from gnsstpu.runtime.sources import FileSource
     from gnsstpu.runtime.telemetry import Telemetry
 
     sig = _sig_config(args)
     cfg = ReceiverConfig(signal=sig, acq=_acq_config(args),
                          track=TrackConfig(dll_bw=args.dll_bw),
                          n_channels=args.channels)
-    src = FileSource(args.file, fmt=args.format,
-                     skip_samples=args.skip_samples)
+    src = _file_source(args)
     sink = open(args.log, "w") if args.log else sys.stdout
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                          epoch_ms=args.epoch_ms)
@@ -120,13 +135,11 @@ def cmd_track(args) -> int:
 def cmd_solve(args) -> int:
     from gnsstpu.config import AcqConfig, ReceiverConfig
     from gnsstpu.runtime.receiver import run_receiver
-    from gnsstpu.runtime.sources import FileSource
 
     sig = _sig_config(args)
     cfg = ReceiverConfig(signal=sig, acq=_acq_config(args),
                          n_channels=args.channels, ms_to_process=args.ms)
-    src = FileSource(args.file, fmt=args.format,
-                     skip_samples=args.skip_samples)
+    src = _file_source(args)
     out = run_receiver(src, cfg, n_ms=args.ms)
     print(f"acquired: {out.acq.detected_prns()}")
     print(f"ephemerides decoded: {sorted(out.ephs)}")

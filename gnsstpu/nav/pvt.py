@@ -50,6 +50,7 @@ class LsqSolution:
     dop: np.ndarray       # [5] GDOP PDOP HDOP VDOP TDOP
     residuals: np.ndarray  # [S] post-fit [m]
     ok: bool = True
+    used: Optional[np.ndarray] = None  # [S] bool, set by the RAIM wrapper
 
 
 def least_square_pos(sat_pos: np.ndarray, obs: np.ndarray,
@@ -96,6 +97,72 @@ def least_square_pos(sat_pos: np.ndarray, obs: np.ndarray,
     ])
     resid = obs - np.linalg.norm(rot_x - pos[:3], axis=1) - pos[3] - trop
     return LsqSolution(pos, el, az, dop, resid)
+
+
+def cross_correlation_suspects(cn0_dbhz: np.ndarray,
+                               doppler_hz: np.ndarray,
+                               delta_db: float = 18.0,
+                               tol_hz: float = 5.0) -> np.ndarray:
+    """Flag channels likely tracking a cross-correlation of a stronger SV.
+
+    The C/A cross-correlation peaks sit at Doppler offsets that are
+    multiples of 1 kHz from the true signal, ~21.6 dB down; the reference
+    screens measurements whose Doppler aliases onto a much stronger
+    channel's before the LSQ (objects/pvt.cpp:864 error screen).
+
+    Returns [C] bool, True = suspect (exclude from the solution).
+    """
+    c = np.asarray(cn0_dbhz, np.float64)
+    d = np.asarray(doppler_hz, np.float64)
+    n = len(c)
+    suspect = np.zeros(n, bool)
+    for j in range(n):
+        for i in range(n):
+            if i == j or c[i] - c[j] < delta_db:
+                continue
+            off = (d[j] - d[i]) % 1000.0
+            if min(off, 1000.0 - off) < tol_hz:
+                suspect[j] = True
+    return suspect
+
+
+def least_square_pos_raim(sat_pos: np.ndarray, obs: np.ndarray,
+                          use_tropo: bool = True, iterations: int = 7,
+                          max_residual_m: float = 50.0,
+                          max_reject: int = 2) -> LsqSolution:
+    """LSQ with residual screening: while the worst post-fit residual
+    exceeds max_residual_m and >4 satellites remain, drop the worst and
+    re-solve (the reference's converged/residual error screens,
+    objects/pvt.cpp:1061-1202). LsqSolution.residuals is [S] over the
+    ORIGINAL satellite set; excluded entries hold their last residual,
+    and `used` marks what contributed to the fix.
+    """
+    S = sat_pos.shape[0]
+    used = np.ones(S, bool)
+    rejected = 0
+    while True:
+        sol = least_square_pos(sat_pos[used], obs[used],
+                               use_tropo=use_tropo, iterations=iterations)
+        if not sol.ok:
+            sol.used = used
+            return sol
+        worst = int(np.argmax(np.abs(sol.residuals)))
+        if (np.abs(sol.residuals[worst]) <= max_residual_m
+                or used.sum() <= 5 or rejected >= max_reject):
+            break
+        idx = np.nonzero(used)[0][worst]
+        used[idx] = False
+        rejected += 1
+    full_res = np.zeros(S)
+    full_res[used] = sol.residuals
+    el = np.zeros(S)
+    az = np.zeros(S)
+    el[used], az[used] = sol.el, sol.az
+    out = LsqSolution(sol.pos, el, az, sol.dop, full_res,
+                      ok=np.abs(sol.residuals).max(initial=0.0)
+                      <= max_residual_m)
+    out.used = used
+    return out
 
 
 @dataclasses.dataclass
@@ -157,13 +224,15 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
             abs_sample[active], ms_meas[active], spc, nav.start_offset_ms)
         sat_p, sat_clk = satpos(transmit_time,
                                 [ephs[prns[c]] for c in active])
-        sol = least_square_pos(sat_p, raw_p + sat_clk * SPEED_OF_LIGHT,
-                               use_tropo=nav.use_tropo,
-                               iterations=nav.lsq_iterations)
+        sol = least_square_pos_raim(sat_p, raw_p + sat_clk * SPEED_OF_LIGHT,
+                                    use_tropo=nav.use_tropo,
+                                    iterations=nav.lsq_iterations)
         if not sol.ok:
             continue
+        prev_elev = sat_elev
         sat_elev = np.full(C, -np.inf)
-        sat_elev[active] = sol.el
+        sat_elev[active] = np.where(sol.used, sol.el,
+                                    prev_elev[active])
         out.x[k], out.y[k], out.z[k], out.dt[k] = sol.pos
         out.dop[k] = sol.dop
         lat, lon, h = geodesy.cart2geo(*sol.pos[:3], 5)

@@ -152,3 +152,30 @@ def test_pseudoranges_rebase():
     assert pr[0] == pytest.approx(68.802 * SPEED_OF_LIGHT / 1000, rel=1e-12)
     d = (186384.0 - 180224.0) / 16384.0 * SPEED_OF_LIGHT / 1000
     assert pr[1] - pr[0] == pytest.approx(d, rel=1e-9)
+
+
+def test_cross_correlation_screen():
+    # ch2 aliases ch0's Doppler (+2 kHz offset) and is 20+ dB weaker
+    cn0 = np.array([48.0, 45.0, 24.0, 26.0])
+    dopp = np.array([1500.0, -2200.0, 3501.2, 777.0])
+    sus = pvt.cross_correlation_suspects(cn0, dopp)
+    assert list(sus) == [False, False, True, False]
+
+
+def test_raim_rejects_faulted_pseudorange():
+    ephs = make_constellation(7)
+    t = 266400.0
+    pos, clk = satpos(t, ephs)
+    p_true = np.array([2849830.0, 2186822.0, 5252937.0])
+    bias = 300.0
+    obs = np.linalg.norm(
+        geodesy.e_r_corr(np.linalg.norm(pos - p_true, axis=1)
+                         / SPEED_OF_LIGHT, pos) - p_true, axis=1) + bias
+    obs[2] += 800.0  # gross fault
+    sol = pvt.least_square_pos_raim(pos, obs, use_tropo=False)
+    assert sol.ok
+    assert not sol.used[2] and sol.used.sum() == 6
+    assert np.linalg.norm(sol.pos[:3] - p_true) < 2.0
+    # plain LSQ on the same data is pulled off by the fault
+    plain = pvt.least_square_pos(pos, obs, use_tropo=False)
+    assert np.linalg.norm(plain.pos[:3] - p_true) > 50.0

@@ -113,8 +113,12 @@ def cmd_track(args) -> int:
                          n_channels=args.channels)
     src = _file_source(args)
     sink = open(args.log, "w") if args.log else sys.stdout
+    bus = None
+    if args.commands:
+        from gnsstpu.runtime.console import CommandBus
+        bus = CommandBus(args.commands)
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
-                         epoch_ms=args.epoch_ms)
+                         epoch_ms=args.epoch_ms, commands=bus)
     recs = mgr.run(args.ms)
     if args.checkpoint:
         import jax
@@ -180,6 +184,33 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+def cmd_monitor(args) -> int:
+    """Render the channel status board from a telemetry JSONL file
+    (console display page, osgnss display.c / gse channel page)."""
+    import time as _time
+
+    from gnsstpu.runtime.console import StatusBoard
+
+    board = StatusBoard()
+    if not args.follow:
+        board.feed_jsonl(args.log)
+        print(board.render())
+        return 0
+    pos = 0
+    try:
+        while True:
+            with open(args.log) as f:
+                f.seek(pos)
+                for line in f:
+                    if line.strip():
+                        board.update(json.loads(line))
+                pos = f.tell()
+            print("\033[2J\033[H" + board.render(), flush=True)
+            _time.sleep(args.interval)
+    except KeyboardInterrupt:
+        return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -207,6 +238,9 @@ def main(argv=None) -> int:
     p.add_argument("--dll-bw", type=float, default=1.0)
     p.add_argument("--log", default=None, help="telemetry JSONL path")
     p.add_argument("--checkpoint", default=None, help=".npz state path")
+    p.add_argument("--commands", default=None,
+                   help="JSONL command file polled each epoch "
+                        "(drop/mask/unmask/set/stop)")
     p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("solve", help="full chain to a position fix")
@@ -226,6 +260,12 @@ def main(argv=None) -> int:
     p.add_argument("--scale", type=float, default=24.0)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("monitor", help="status board from a telemetry log")
+    p.add_argument("log")
+    p.add_argument("--follow", action="store_true")
+    p.add_argument("--interval", type=float, default=1.0)
+    p.set_defaults(fn=cmd_monitor)
 
     p = sub.add_parser("bench", help="run the repo benchmark")
     p.set_defaults(fn=cmd_bench)

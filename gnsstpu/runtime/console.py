@@ -1,0 +1,132 @@
+"""Operator console: live status board + runtime command channel.
+
+The reference exposes two operator surfaces the framework mirrors here:
+
+  * a paged console status display of every channel's state
+    (osgnss display.c, 218 LoC; the gps-gse wxWidgets channel page,
+    gse/src/gui_channel) — rebuilt as ``StatusBoard``, a telemetry
+    subscriber that renders a text page from the JSONL stream, usable
+    live (subscriber) or offline (``gnsstpu monitor file.jsonl``);
+  * a command channel for runtime control (objects/commando.cpp, 592
+    LoC: reset/set-parameter commands arriving over the GUI pipe) —
+    rebuilt as ``CommandBus``, JSON-line commands polled by the
+    ChannelManager at epoch boundaries.
+
+Both speak the same JSONL dialect as the telemetry bus, so a GUI, a
+pipe, or a test can drive them identically.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Dict, IO, List, Optional, Union
+
+
+class CommandBus:
+    """Poll JSON-line commands from a file/pipe (Commando equivalent).
+
+    Supported commands (one JSON object per line):
+      {"cmd": "drop",   "prn": 7}        tear down the channel on PRN 7
+      {"cmd": "mask",   "prn": 7}        remove PRN 7 from the acq pool
+      {"cmd": "unmask", "prn": 7}        restore PRN 7 to the acq pool
+      {"cmd": "set", "key": K, "v": V}   runtime param (reacq_period_ms,
+                                         cn0_drop, drop_after, epoch lim)
+      {"cmd": "stop"}                    end the run at this epoch
+    Unknown commands are reported via telemetry, not fatal (the
+    reference ACKs/NAKs over the pipe, commando.cpp).
+    """
+
+    def __init__(self, source: Union[str, IO]):
+        self._path: Optional[str] = None
+        self._fh: Optional[IO] = None
+        if isinstance(source, str):
+            self._path = source
+            self._pos = 0
+        else:
+            self._fh = source
+
+    def poll(self) -> List[dict]:
+        if self._fh is None:
+            if self._path is None or not os.path.exists(self._path):
+                return []
+            with open(self._path) as f:
+                f.seek(self._pos)
+                text = f.read()
+                self._pos = f.tell()
+        else:
+            text = self._fh.read()
+        cmds = []
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                cmds.append(json.loads(line))
+            except json.JSONDecodeError:
+                cmds.append({"cmd": "_parse_error", "raw": line[:80]})
+        return cmds
+
+
+class StatusBoard:
+    """Channel/PVT status page from telemetry records (display.c twin).
+
+    Feed it records via update() (e.g. Telemetry.subscribe(board.update))
+    or a whole JSONL file, then render().
+    """
+
+    def __init__(self, n_events: int = 6):
+        self.channels: Dict[int, dict] = {}
+        self.pvt: Optional[dict] = None
+        self.events: List[dict] = []
+        self.n_events = n_events
+        self.epoch_ms = 0
+
+    def update(self, rec: dict) -> None:
+        t = rec.get("type")
+        self.epoch_ms = max(self.epoch_ms, rec.get("epoch_ms", 0) or 0)
+        if t == "channel_health":
+            self.channels[rec["chan"]] = rec
+        elif t == "pvt":
+            self.pvt = rec
+        elif t == "event":
+            self.events.append(rec)
+            if rec.get("what") == "channel_drop":
+                ch = self.channels.get(rec.get("chan", -1))
+                if ch is not None:
+                    ch = dict(ch)
+                    ch["state"] = "idle"
+                    ch["prn"] = 0
+                    self.channels[rec["chan"]] = ch
+            del self.events[: -self.n_events]
+
+    def render(self) -> str:
+        lines = [f"== gnsstpu status @ {self.epoch_ms} ms ==",
+                 " ch  prn  state      C/N0   doppler    PLL"]
+        for chan in sorted(self.channels):
+            c = self.channels[chan]
+            if c.get("prn"):
+                lines.append(
+                    f" {chan:2d}  {c['prn']:3d}  {c['state']:<9s}"
+                    f"  {c['cn0_dbhz']:5.1f}  {c['doppler_hz']:+8.1f}"
+                    f"  {c['pll_lock']:5.2f}")
+            else:
+                lines.append(f" {chan:2d}    -  idle")
+        if self.pvt is not None:
+            p = self.pvt
+            lines.append(f" pvt: lat {p['lat_deg']:.6f}  lon "
+                         f"{p['lon_deg']:.6f}  h {p['h_m']:.1f} m  "
+                         f"({p['n_sv']} SV)")
+        for ev in self.events:
+            kv = {k: v for k, v in ev.items()
+                  if k not in ("t", "seq", "type", "what", "epoch_ms")}
+            lines.append(f" [{ev.get('epoch_ms', '?')} ms] "
+                         f"{ev.get('what')} {kv if kv else ''}".rstrip())
+        return "\n".join(lines)
+
+    def feed_jsonl(self, path: str) -> None:
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    self.update(json.loads(line))

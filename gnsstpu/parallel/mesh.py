@@ -30,7 +30,20 @@ def make_mesh(axis_sizes: Sequence[Tuple[str, int]],
     names = tuple(n for n, _ in axis_sizes)
     shape = tuple(s for _, s in axis_sizes)
     n = int(np.prod(shape))
-    devices = list(devices if devices is not None else jax.devices())[:n]
+    if devices is None:
+        devices = list(jax.devices())
+        if len(devices) < n:
+            # Default platform too small (e.g. a single real TPU chip while
+            # dry-running an N-device sharding): fall back to the host CPU
+            # backend, which exposes xla_force_host_platform_device_count
+            # virtual devices for sharding validation.
+            try:
+                cpu = list(jax.devices("cpu"))
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= n:
+                devices = cpu
+    devices = list(devices)[:n]
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
     return Mesh(np.asarray(devices).reshape(shape), names)

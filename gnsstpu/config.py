@@ -155,6 +155,9 @@ class NavConfig:
     # Initial assumed signal travel time [ms] (ref initSettings.sci:125).
     start_offset_ms: float = 68.802
     lsq_iterations: int = 7
+    # Steer the epoch transmit-time advance by the solved clock drift
+    # (the real-time receiver's clock steering, objects/pvt.cpp:379).
+    clock_steering: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -99,6 +99,47 @@ def least_square_pos(sat_pos: np.ndarray, obs: np.ndarray,
     return LsqSolution(pos, el, az, dop, resid)
 
 
+def least_square_vel(sat_pos: np.ndarray, sat_vel: np.ndarray,
+                     rx_pos: np.ndarray, doppler_hz: np.ndarray,
+                     wavelength_m: np.ndarray) -> "VelSolution":
+    """Snapshot receiver velocity + clock drift from carrier Doppler.
+
+    Range-rate model: rho_dot_s = e_s . (v_sat_s - v_rx) + c*ddt with
+    e_s the receiver->satellite unit vector; the measured range rate is
+    -lambda_s * D_s (positive Doppler = closing). Solves the linear system
+    with the same geometry matrix as the position LSQ. The reference
+    carries Doppler into its nav filter as pseudorange-rate measurements
+    (gse EKF velocity states; objects/pvt.cpp Navigate uses NCO carrier
+    frequency for rate aiding); this is the snapshot-LSQ equivalent.
+
+    sat_pos: [S,3] m; sat_vel: [S,3] m/s; rx_pos: [3] m (from the position
+    fix); doppler_hz: [S] carrier Doppler; wavelength_m: [S] per-satellite
+    carrier wavelength (FDMA signals differ per channel).
+    Returns VelSolution(vel [3] m/s, ddt m/s, residuals [S] m/s).
+    """
+    los = sat_pos - rx_pos[None, :]
+    e = los / np.linalg.norm(los, axis=1, keepdims=True)
+    S = sat_pos.shape[0]
+    A = np.zeros((S, 4))
+    A[:, :3] = -e
+    A[:, 3] = 1.0
+    rate_meas = -np.asarray(wavelength_m) * np.asarray(doppler_hz)
+    b = rate_meas - np.sum(e * sat_vel, axis=1)
+    if S < 4 or np.linalg.matrix_rank(A) != 4:
+        return VelSolution(np.zeros(3), 0.0, np.zeros(S), ok=False)
+    x, *_ = np.linalg.lstsq(A, b, rcond=None)
+    resid = b - A @ x
+    return VelSolution(x[:3], float(x[3]), resid)
+
+
+@dataclasses.dataclass
+class VelSolution:
+    vel: np.ndarray        # [3] ECEF m/s
+    ddt: float             # receiver clock drift [m/s]
+    residuals: np.ndarray  # [S] post-fit range-rate residuals [m/s]
+    ok: bool = True
+
+
 def cross_correlation_suspects(cn0_dbhz: np.ndarray,
                                doppler_hz: np.ndarray,
                                delta_db: float = 18.0,
@@ -184,17 +225,34 @@ class NavSolutions:
     dop: np.ndarray           # [E, 5]
     n_sats: np.ndarray        # [E]
     valid: np.ndarray         # [E] bool
+    # Doppler velocity solution (zeros unless carr_freq was provided).
+    vx: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    vy: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    vz: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    ddt: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    vel_valid: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, bool))
+    # Cumulative clock-steering applied to transmit time [s] (0 unless
+    # nav.clock_steering).
+    steer_s: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))
 
 
 def navigate(abs_sample: np.ndarray, prns: Sequence[int],
              subframe_start_ms: Sequence[int], tow_s: float,
              ephs: Dict[int, Ephemeris], sig: SignalConfig,
-             nav: NavConfig, n_ms: int) -> NavSolutions:
+             nav: NavConfig, n_ms: int,
+             carr_freq: Optional[np.ndarray] = None,
+             carrier_hz: Optional[np.ndarray] = None) -> NavSolutions:
     """Epoch loop: pseudoranges -> satpos -> LSQ (postNavigation.sci:154+).
 
     abs_sample: [C, n_ms] from TrackResults (channels in `prns` order).
     subframe_start_ms: per-channel ms of the first decoded subframe start.
     tow_s: TOW at that subframe start (same for all channels by GPS time).
+    carr_freq: optional [C, n_ms] tracked absolute carrier frequency; when
+    given, a per-epoch Doppler velocity + clock-drift LSQ is solved too.
+    carrier_hz: [C] nominal carrier per channel (FDMA); defaults to
+    sig carrier for every channel.
     """
     C = len(prns)
     sf = np.asarray(subframe_start_ms, np.int64)
@@ -209,8 +267,15 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
         height=np.zeros(E), utm_e=np.zeros(E), utm_n=np.zeros(E),
         utm_u=np.zeros(E), dop=np.zeros((E, 5)), n_sats=np.zeros(E, int),
         valid=np.zeros(E, bool),
+        vx=np.zeros(E), vy=np.zeros(E), vz=np.zeros(E), ddt=np.zeros(E),
+        vel_valid=np.zeros(E, bool), steer_s=np.zeros(E),
     )
+    if carr_freq is not None and carrier_hz is None:
+        from gnsstpu.signals.registry import get_signal
+        sd = get_signal(sig.signal)
+        carrier_hz = np.array([sd.carrier_freq(p) for p in prns], np.float64)
     transmit_time = tow_s
+    steer_total = 0.0
     utm_zone: Optional[int] = None
     for k in range(n_epochs):
         active = np.nonzero(have_eph & (sat_elev >= nav.elevation_mask_deg)
@@ -242,5 +307,35 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
         out.utm_e[k], out.utm_n[k], out.utm_u[k] = geodesy.cart2utm(
             *sol.pos[:3], utm_zone)
         out.valid[k] = True
-        transmit_time += nav.sol_period_ms / 1000.0
+        if carr_freq is not None and sol.used is not None and sol.used.sum() >= 4:
+            from gnsstpu.nav.ekf import satpos_vel
+            use_idx = active[sol.used]
+            _, sv_vel, _ = satpos_vel(
+                transmit_time, [ephs[prns[c]] for c in use_idx])
+            # Average the tracked carrier over a short trailing window:
+            # Doppler is near-constant over 100 ms but the per-ms loop
+            # output carries PLL jitter.
+            w = min(100, int(nav.sol_period_ms))
+            dop_hz = np.array([
+                carr_freq[c, max(0, ms_meas[c] - w):ms_meas[c] + 1].mean()
+                for c in use_idx]) - sig.if_freq
+            lam = SPEED_OF_LIGHT / carrier_hz[use_idx]
+            vsol = least_square_vel(sat_p[sol.used], sv_vel, sol.pos[:3],
+                                    dop_hz, lam)
+            if vsol.ok:
+                out.vx[k], out.vy[k], out.vz[k] = vsol.vel
+                out.ddt[k] = vsol.ddt
+                out.vel_valid[k] = True
+        dt_epoch = nav.sol_period_ms / 1000.0
+        if nav.clock_steering and out.vel_valid[k]:
+            # pvt.cpp:379 ClockUpdate analogue: the solved clock drift
+            # (m/s) over c is the fractional sample-clock rate error, so
+            # "sol_period_ms of samples" is not exactly that much GPS
+            # time; steer the transmit-time advance by it so epoch GPS
+            # times stay aligned over long runs.
+            corr = -dt_epoch * out.ddt[k] / SPEED_OF_LIGHT
+            steer_total += corr
+            dt_epoch += corr
+        out.steer_s[k] = steer_total
+        transmit_time += dt_epoch
     return out

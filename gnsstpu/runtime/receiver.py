@@ -100,5 +100,6 @@ def run_receiver(source, cfg: ReceiverConfig,
                 sig=sig,
                 nav=cfg.nav,
                 n_ms=n_ms,
+                carr_freq=tr.carr_freq[good],
             )
     return ReceiverOutput(acq_res, channels, tr, syncs, ephs, tows, nav)

@@ -104,3 +104,44 @@ def test_position_fix(receiver_output):
     lat, lon, _ = geodesy.cart2geo(*RECV_ECEF, 5)
     assert abs(np.mean(out.nav.latitude[valid]) - lat) < 1e-3
     assert abs(np.mean(out.nav.longitude[valid]) - lon) < 1e-3
+
+
+def test_velocity_solution_static_receiver(receiver_output):
+    """The Doppler velocity LSQ runs per epoch and reports ~zero velocity
+    for the static scenario receiver, with small clock drift."""
+    _, out = receiver_output
+    assert out.nav.vel_valid.sum() >= 10
+    v = np.stack([out.nav.vx, out.nav.vy, out.nav.vz], axis=1)
+    speed = np.linalg.norm(v[out.nav.vel_valid], axis=1)
+    assert np.mean(speed) < 2.0, f"mean speed {np.mean(speed):.2f} m/s"
+    assert np.max(speed) < 8.0, f"max speed {np.max(speed):.2f} m/s"
+    assert np.all(np.abs(out.nav.ddt[out.nav.vel_valid]) < 20.0)
+
+
+def test_clock_steering_epoch_navigator(receiver_output):
+    """With clock_steering on, navigate applies a rate correction derived
+    from the solved clock drift; the position fix is unaffected at the
+    tested timescale and steer_s stays bounded by |ddt|/c * run length."""
+    from gnsstpu.nav import pvt as pvt_mod
+
+    ephs, out = receiver_output
+    good = [c for c, ch in enumerate(out.channels)
+            if ch.prn in out.ephs and out.syncs[c].found]
+    tow = out.tows[out.channels[good[0]].prn]
+    nav_cfg = NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
+                        use_tropo=False, clock_steering=True)
+    nav = pvt_mod.navigate(
+        abs_sample=out.track.abs_sample[good],
+        prns=[out.channels[c].prn for c in good],
+        subframe_start_ms=[out.syncs[c].first_subframe_ms for c in good],
+        tow_s=tow, ephs=out.ephs, sig=SIG, nav=nav_cfg,
+        n_ms=N_MS, carr_freq=out.track.carr_freq[good])
+    valid = nav.valid
+    assert valid.sum() >= 10
+    err3d = np.linalg.norm(
+        np.stack([nav.x, nav.y, nav.z], 1)[valid] - RECV_ECEF, axis=1)
+    assert np.mean(err3d) < 20.0
+    assert np.all(np.isfinite(nav.steer_s))
+    # |steer| bounded by max drift over the run duration.
+    bound = 25.0 / 299792458.0 * (N_MS / 1000.0)
+    assert np.max(np.abs(nav.steer_s)) <= bound

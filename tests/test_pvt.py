@@ -179,3 +179,34 @@ def test_raim_rejects_faulted_pseudorange():
     # plain LSQ on the same data is pulled off by the fault
     plain = pvt.least_square_pos(pos, obs, use_tropo=False)
     assert np.linalg.norm(plain.pos[:3] - p_true) > 50.0
+
+
+def test_lsq_velocity_recovers_motion():
+    """least_square_vel recovers receiver velocity + clock drift exactly
+    from noise-free geometry-consistent Doppler."""
+    rng = np.random.default_rng(3)
+    rx = np.array([2.8e6, -4.5e6, 3.2e6])
+    v_rx = np.array([30.0, -12.0, 5.0])
+    ddt = 2.5  # clock drift [m/s]
+    S = 7
+    dirs = rng.normal(size=(S, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    sat_pos = rx + dirs * 2.2e7
+    sat_vel = rng.normal(scale=3000.0, size=(S, 3))
+    lam = np.full(S, SPEED_OF_LIGHT / 1575.42e6)
+    e = (sat_pos - rx) / np.linalg.norm(sat_pos - rx, axis=1, keepdims=True)
+    rhodot = np.sum(e * (sat_vel - v_rx), axis=1) + ddt
+    dop = -rhodot / lam
+    sol = pvt.least_square_vel(sat_pos, sat_vel, rx, dop, lam)
+    assert sol.ok
+    np.testing.assert_allclose(sol.vel, v_rx, atol=1e-9)
+    assert abs(sol.ddt - ddt) < 1e-9
+    assert np.max(np.abs(sol.residuals)) < 1e-9
+
+
+def test_lsq_velocity_underdetermined():
+    sat_pos = np.array([[2.6e7, 0.0, 0.0], [0.0, 2.6e7, 0.0],
+                        [0.0, 0.0, 2.6e7]])
+    sol = pvt.least_square_vel(sat_pos, np.zeros((3, 3)), np.zeros(3),
+                               np.zeros(3), np.full(3, 0.19))
+    assert not sol.ok

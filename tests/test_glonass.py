@@ -11,6 +11,7 @@ from gnsstpu.config import AcqConfig, SignalConfig, TrackConfig
 from gnsstpu.acquisition.search import acquire_fdma
 from gnsstpu.nav import glonass as gl
 from gnsstpu.runtime.sources import SimSource
+from gnsstpu.signals import glonass as sgl
 from gnsstpu.signals.glonass import generate_st_code
 from gnsstpu.sim import IFSimulator, SatParams
 from gnsstpu.tracking import ChannelInit, track
@@ -185,3 +186,44 @@ def test_p_code_matches_register_model():
     assert full.shape == (P_CODE_LENGTH,)
     assert abs(int(full.astype(np.int64).sum())) < 6000
     assert np.array_equal(full[:n], ref)
+
+
+def test_l2of_closed_loop():
+    """GLONASS L2OF end to end: the L2 band reuses the ST code with
+    437.5 kHz channel spacing (GLONASS/L2/initSettings.sci); acquisition
+    must resolve the right frequency channels and tracking must converge
+    with the L2 carrier-aiding divisor."""
+    sig2 = SignalConfig(signal="glonass_l2of", if_freq=0.0, fs=8.192e6,
+                        code_freq=0.511e6, code_length=511,
+                        fdma_step=sgl.L2_STEP_HZ, complex_iq=True)
+    eph = make_geph()
+    sym = gl.encode_strings(eph, n_strings=4)
+    sats = [
+        SatParams(prn=5, doppler_hz=900.0, if_offset_hz=-3 * sgl.L2_STEP_HZ,
+                  code_phase_chips=88.2, cn0_dbhz=48.0, nav_bits=sym),
+        SatParams(prn=12, doppler_hz=-1700.0, if_offset_hz=4 * sgl.L2_STEP_HZ,
+                  code_phase_chips=311.7, cn0_dbhz=48.0, nav_bits=sym),
+    ]
+    sim = IFSimulator(sig2, sats, noise_sigma=1.0, seed=11)
+    n_ms = 1500
+    src = SimSource(sim, n_ms + 50)
+    acq = AcqConfig(doppler_band=8e3, coherent_ms=2, threshold=2.5)
+    from gnsstpu.acquisition.search import acq_samples_needed
+    res = acquire_fdma(src.read(0, acq_samples_needed(sig2, acq)), sig2, acq)
+    assert res.detected_prns() == [5, 12]
+    for s in sats:
+        i = s.prn - 1
+        assert abs(res.carr_freq[i] - (s.if_offset_hz + s.doppler_hz)) \
+            <= 200.0
+
+    trk = TrackConfig(dll_bw=1.0, pll_bw=25.0, fll_bw=250.0,
+                      aid_div=sgl.L2_BASE_HZ / sgl.CODE_FREQ)
+    chans = [ChannelInit(prn=s.prn, code_phase=int(res.code_phase[s.prn - 1]),
+                         doppler_hz=float(res.carr_freq[s.prn - 1]
+                                          - s.if_offset_hz),
+                         if_offset_hz=s.if_offset_hz)
+             for s in sats]
+    tr = track(src, chans, sig2, trk, n_ms, chunk_ms=250)
+    for c, s in enumerate(sats):
+        settled = tr.carr_freq[c, 1000:] - s.if_offset_hz
+        assert abs(np.mean(settled) - s.doppler_hz) < 3.0

@@ -41,6 +41,11 @@ from gnsstpu.tracking import scan as tscan
 
 class SlotState(enum.Enum):
     IDLE = "idle"
+    # Post-acquisition probation: the slot tracks, but must show lock for
+    # confirm_m of the first confirm_epochs supervision epochs or it is
+    # dropped (the reference's ch_confirm M-of-N false-alarm screen,
+    # osgpsisr.c:475-520, realized on lock-detector epochs).
+    CONFIRM = "confirm"
     TRACKING = "tracking"
 
 
@@ -50,6 +55,8 @@ class Slot:
     prn: int = 0
     bad_epochs: int = 0
     started_ms: int = 0
+    confirm_good: int = 0
+    confirm_seen: int = 0
 
 
 @dataclasses.dataclass
@@ -73,6 +80,7 @@ class ChannelManager:
                  cn0_drop_dbhz: float = 32.0,
                  prn_pool: Optional[List[int]] = None,
                  stall_timeout_s: float = 30.0,
+                 confirm_epochs: int = 3, confirm_m: int = 2,
                  commands=None):
         self.source = source
         self.cfg = cfg
@@ -86,6 +94,8 @@ class ChannelManager:
         self.pool = list(prn_pool if prn_pool is not None
                          else range(1, self.sd.num_prn + 1))
         self.stall_timeout_s = stall_timeout_s
+        self.confirm_epochs = confirm_epochs
+        self.confirm_m = confirm_m
         self.commands = commands   # CommandBus (runtime/console.py)
         self._stop = False
 
@@ -114,9 +124,12 @@ class ChannelManager:
     def _alloc(self, slot_idx: int, prn: int, code_phase: int,
                doppler_hz: float, epoch_ms: int) -> None:
         s = self.slots[slot_idx]
-        s.state = SlotState.TRACKING
+        s.state = (SlotState.CONFIRM if self.confirm_epochs > 0
+                   else SlotState.TRACKING)
         s.prn = prn
         s.bad_epochs = 0
+        s.confirm_good = 0
+        s.confirm_seen = 0
         s.started_ms = epoch_ms
         self._codes[slot_idx] = self._padded[prn - 1]
         # FDMA: this slot's carrier base and aid divisor follow the PRN's
@@ -157,7 +170,7 @@ class ChannelManager:
         s.bad_epochs = 0
 
     def _tracked_prns(self) -> set:
-        return {s.prn for s in self.slots if s.state is SlotState.TRACKING}
+        return {s.prn for s in self.slots if s.state is not SlotState.IDLE}
 
     # --- acquisition scheduling (SV_Select::Acquire equivalent) ---
 
@@ -214,7 +227,7 @@ class ChannelManager:
                 self._next_reacq_ms = epoch_ms + self.reacq_period_ms
 
             active = [i for i, s in enumerate(self.slots)
-                      if s.state is SlotState.TRACKING]
+                      if s.state is not SlotState.IDLE]
             if not active:
                 # Nothing tracking: advance the cursor one epoch.
                 self._cursor += self.epoch_ms * spc
@@ -274,6 +287,17 @@ class ChannelManager:
                     float(status.pll_lock[i]))
                 if s.started_ms + self.epoch_ms >= epoch_ms:
                     continue          # grace epoch while loops pull in
+                if s.state is SlotState.CONFIRM:
+                    s.confirm_seen += 1
+                    if status.locked[i]:
+                        s.confirm_good += 1
+                    if s.confirm_good >= self.confirm_m:
+                        s.state = SlotState.TRACKING
+                        self.tlm.event(epoch_ms, "channel_confirmed",
+                                       chan=i, prn=s.prn)
+                    elif s.confirm_seen >= self.confirm_epochs:
+                        self._drop(i, epoch_ms, why="confirm_failed")
+                    continue
                 if not status.locked[i]:
                     s.bad_epochs += 1
                     if s.bad_epochs >= self.drop_after:

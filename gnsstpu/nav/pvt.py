@@ -270,10 +270,23 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
         vx=np.zeros(E), vy=np.zeros(E), vz=np.zeros(E), ddt=np.zeros(E),
         vel_valid=np.zeros(E, bool), steer_s=np.zeros(E),
     )
-    if carr_freq is not None and carrier_hz is None:
+    # Per-channel carrier frequency (FDMA channels differ) and the FDMA
+    # IF offset the tracking loop folds into carr_freq. TrackResults'
+    # carr_freq absorbs each channel's FDMA offset from the zero channel
+    # (tracking/driver.py; manager._alloc if_offsets), so Doppler must be
+    # recovered as carr_freq - if_freq - fdma_offset per channel.
+    fdma_offset = np.zeros(C, np.float64)
+    if carr_freq is not None:
         from gnsstpu.signals.registry import get_signal
         sd = get_signal(sig.signal)
-        carrier_hz = np.array([sd.carrier_freq(p) for p in prns], np.float64)
+        if carrier_hz is None:
+            carrier_hz = np.array([sd.carrier_freq(p) for p in prns],
+                                  np.float64)
+        else:
+            carrier_hz = np.asarray(carrier_hz, np.float64)
+        if sd.fdma_zero_prn is not None:
+            fdma_offset = (carrier_hz
+                           - sd.carrier_freq(sd.fdma_zero_prn))
     transmit_time = tow_s
     steer_total = 0.0
     utm_zone: Optional[int] = None
@@ -318,7 +331,7 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
             w = min(100, int(nav.sol_period_ms))
             dop_hz = np.array([
                 carr_freq[c, max(0, ms_meas[c] - w):ms_meas[c] + 1].mean()
-                for c in use_idx]) - sig.if_freq
+                for c in use_idx]) - sig.if_freq - fdma_offset[use_idx]
             lam = SPEED_OF_LIGHT / carrier_hz[use_idx]
             vsol = least_square_vel(sat_p[sol.used], sv_vel, sol.pos[:3],
                                     dop_hz, lam)
@@ -328,14 +341,14 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
                 out.vel_valid[k] = True
         dt_epoch = nav.sol_period_ms / 1000.0
         if nav.clock_steering and out.vel_valid[k]:
-            # pvt.cpp:379 ClockUpdate analogue: the solved clock drift
-            # (m/s) over c is the fractional sample-clock rate error, so
-            # "sol_period_ms of samples" is not exactly that much GPS
-            # time; steer the transmit-time advance by it so epoch GPS
-            # times stay aligned over long runs.
-            corr = -dt_epoch * out.ddt[k] / SPEED_OF_LIGHT
-            steer_total += corr
-            dt_epoch += corr
+            # pvt.cpp:379 ClockUpdate analogue — steers the RECEIVER time
+            # estimate, not the transmit-time advance: epochs here are
+            # indexed by transmitted code periods (ms_meas counts code
+            # starts), so advancing transmit_time by sol_period_ms is
+            # already exact satellite time regardless of oscillator drift.
+            # steer_s records the cumulative receiver-clock rate correction
+            # a live receiver would apply to its epoch timestamps.
+            steer_total += -dt_epoch * out.ddt[k] / SPEED_OF_LIGHT
         out.steer_s[k] = steer_total
         transmit_time += dt_epoch
     return out

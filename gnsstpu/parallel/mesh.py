@@ -42,6 +42,13 @@ def make_mesh(axis_sizes: Sequence[Tuple[str, int]],
             except RuntimeError:
                 cpu = []
             if len(cpu) >= n:
+                import warnings
+                warnings.warn(
+                    f"make_mesh: default platform has {len(devices)} "
+                    f"device(s) but the mesh needs {n}; falling back to "
+                    "host-CPU virtual devices (sharding-validation mode, "
+                    "NOT accelerator execution)", RuntimeWarning,
+                    stacklevel=2)
                 devices = cpu
     devices = list(devices)[:n]
     if len(devices) < n:

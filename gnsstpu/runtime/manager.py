@@ -318,15 +318,18 @@ class ChannelManager:
             if cmd == "stop":
                 self._stop = True
             elif cmd == "drop":
+                # Any non-IDLE slot (CONFIRM probation included) can be
+                # commanded off — a masked/dropped PRN must not survive in
+                # probation and graduate to TRACKING afterwards.
                 for i, s in enumerate(self.slots):
-                    if s.state is SlotState.TRACKING \
+                    if s.state is not SlotState.IDLE \
                             and s.prn == c.get("prn"):
                         self._drop(i, epoch_ms, why="commanded")
             elif cmd == "mask":
                 if c.get("prn") in self.pool:
                     self.pool.remove(c["prn"])
                 for i, s in enumerate(self.slots):
-                    if s.state is SlotState.TRACKING \
+                    if s.state is not SlotState.IDLE \
                             and s.prn == c.get("prn"):
                         self._drop(i, epoch_ms, why="masked")
             elif cmd == "unmask":

@@ -329,3 +329,13 @@ def satpos_bd(transmit_time, ephs) -> Tuple[np.ndarray, np.ndarray]:
         C_ic=e.C_ic, C_is=e.C_is, valid=e.valid) for e in ephs]
     return satpos(transmit_time, conv, gm=3.986004418e14,
                   omega_e=7.2921150e-5)
+
+
+def satpos_vel_bd(transmit_time, ephs, dt: float = 0.5
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """pvt.navigate satvel_fn adapter: (pos, vel, clk) by central
+    difference of the CGCS2000 Kepler propagator."""
+    p0, clk = satpos_bd(transmit_time, ephs)
+    pm, _ = satpos_bd(transmit_time - dt, ephs)
+    pp, _ = satpos_bd(transmit_time + dt, ephs)
+    return p0, (pp - pm) / (2.0 * dt), clk

@@ -325,3 +325,43 @@ def decode_frames(prompt_ip: np.ndarray, start: int
     if ok1 > ok0:
         return eph1, (None if tow1 is None else tow1 - 1)
     return eph0, tow0
+
+
+# ---------------------------------------------------------------------------
+# Orbit adapters for pvt.navigate (GTRF Kepler; Galileo OS ICD constants)
+# ---------------------------------------------------------------------------
+
+GAL_GM = 3.986004418e14        # [m^3/s^2]
+GAL_OMEGA_E = 7.2921151467e-5  # [rad/s]
+
+
+def to_kepler(eph: GalileoEphemeris):
+    """GalileoEphemeris -> the shared Kepler Ephemeris record (fields are
+    stored in the same units: radians, seconds, meters^0.5); the E1 single-
+    frequency group delay is BGD(E1,E5b) (OS ICD 5.1.5)."""
+    from gnsstpu.nav.types import Ephemeris as GpsEph
+
+    return GpsEph(
+        t_oc=eph.t_oc, a_f0=eph.a_f0, a_f1=eph.a_f1, a_f2=eph.a_f2,
+        T_GD=eph.BGD_E1E5b, sqrtA=eph.sqrtA, e=eph.e, M_0=eph.M_0,
+        deltan=eph.deltan, omega=eph.omega, omega_0=eph.omega_0,
+        omegaDot=eph.omegaDot, i_0=eph.i_0, iDot=eph.iDot, t_oe=eph.t_oe,
+        C_uc=eph.C_uc, C_us=eph.C_us, C_rc=eph.C_rc, C_rs=eph.C_rs,
+        C_ic=eph.C_ic, C_is=eph.C_is, valid=eph.valid)
+
+
+def satpos_gal(transmit_time, ephs) -> Tuple[np.ndarray, np.ndarray]:
+    """pvt.navigate satpos_fn adapter: (pos [S,3] m, clk [S] s)."""
+    from gnsstpu.nav.orbits import satpos
+
+    return satpos(transmit_time, [to_kepler(e) for e in ephs],
+                  gm=GAL_GM, omega_e=GAL_OMEGA_E)
+
+
+def satpos_vel_gal(transmit_time, ephs, dt: float = 0.5
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """pvt.navigate satvel_fn adapter: (pos, vel, clk)."""
+    p0, clk = satpos_gal(transmit_time, ephs)
+    pm, _ = satpos_gal(transmit_time - dt, ephs)
+    pp, _ = satpos_gal(transmit_time + dt, ephs)
+    return p0, (pp - pm) / (2.0 * dt), clk

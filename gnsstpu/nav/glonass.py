@@ -308,6 +308,42 @@ def _accel(p: np.ndarray, v: np.ndarray, acc_ls: np.ndarray) -> np.ndarray:
     return a + acc_ls
 
 
+def quantize_eph(eph: GlonassEphemeris) -> GlonassEphemeris:
+    """Round every broadcast field to its ICD string quantization (the
+    same scalings _string_bits encodes with), so simulation truth and the
+    decoded ephemeris agree bit-exactly (fixture-by-construction)."""
+    def q(v, scale, n_mag):
+        m = min(int(round(abs(v) / scale)), (1 << n_mag) - 1)
+        return np.copysign(m * scale, v)
+
+    return dataclasses.replace(
+        eph,
+        x=q(eph.x, 2.0 ** -11, 26), y=q(eph.y, 2.0 ** -11, 26),
+        z=q(eph.z, 2.0 ** -11, 26),
+        xdot=q(eph.xdot, 2.0 ** -20, 23), ydot=q(eph.ydot, 2.0 ** -20, 23),
+        zdot=q(eph.zdot, 2.0 ** -20, 23),
+        xdotdot=q(eph.xdotdot, 2.0 ** -30, 4),
+        ydotdot=q(eph.ydotdot, 2.0 ** -30, 4),
+        zdotdot=q(eph.zdotdot, 2.0 ** -30, 4),
+        gamman=q(eph.gamman, 2.0 ** -40, 10),
+        taun=q(eph.taun, 2.0 ** -30, 21),
+    )
+
+
+def satpos_gl(transmit_time, ephs: Sequence[GlonassEphemeris]
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """pvt.navigate satpos_fn adapter: (pos [S,3] m, clk [S] s)."""
+    p, _, c = satposg(transmit_time, ephs)
+    return p, c
+
+
+def satpos_vel_gl(transmit_time, ephs: Sequence[GlonassEphemeris]
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """pvt.navigate satvel_fn adapter: (pos, vel, clk); the RK4 state
+    carries velocity directly (satposg.sci integrates both)."""
+    return satposg(transmit_time, ephs)
+
+
 def satposg(transmit_time, ephs: Sequence[GlonassEphemeris]
             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """PZ-90 positions/velocities + clock corrections at transmit times.

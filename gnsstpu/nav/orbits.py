@@ -30,13 +30,17 @@ def check_t(t):
     return np.where(t < -HALF_WEEK, t + 2 * HALF_WEEK, t)
 
 
-def satpos(transmit_time, ephs: Sequence[Ephemeris]
+def satpos(transmit_time, ephs: Sequence[Ephemeris],
+           gm: float = GM, omega_e: float = OMEGA_E
            ) -> Tuple[np.ndarray, np.ndarray]:
     """ECEF satellite positions + clock corrections at transmit times.
 
     Args:
       transmit_time: scalar or [S] GPS time of week [s] at transmission.
       ephs: one Ephemeris per satellite.
+      gm / omega_e: gravitational parameter and Earth rotation rate —
+        default WGS-84/GPS; BeiDou (CGCS2000) and Galileo (GTRF) pass
+        their ICD constants.
 
     Returns:
       (pos [S, 3] ECEF meters, clk [S] seconds). The clock correction
@@ -62,7 +66,7 @@ def satpos(transmit_time, ephs: Sequence[Ephemeris]
 
     a = sqrtA * sqrtA
     tk = check_t(time - t_oe)
-    n = np.sqrt(GM / a ** 3) + deltan
+    n = np.sqrt(gm / a ** 3) + deltan
     M = M_0 + n * tk
 
     # Kepler's equation, fixed-point iteration (satpos.sci does 10 rounds
@@ -80,7 +84,7 @@ def satpos(transmit_time, ephs: Sequence[Ephemeris]
         + C_rs * np.sin(2 * phi)
     inc = i_0 + iDot * tk + C_ic * np.cos(2 * phi) + C_is * np.sin(2 * phi)
 
-    Om = omega_0 + (omegaDot - OMEGA_E) * tk - OMEGA_E * t_oe
+    Om = omega_0 + (omegaDot - omega_e) * tk - omega_e * t_oe
 
     xp = r * np.cos(u)
     yp = r * np.sin(u)

@@ -27,19 +27,23 @@ from gnsstpu.nav.types import Ephemeris
 
 def calculate_pseudoranges(abs_sample: np.ndarray, ms_of_signal: np.ndarray,
                            samples_per_code: float,
-                           start_offset_ms: float) -> np.ndarray:
-    """Relative pseudoranges [m] at per-channel measurement milliseconds.
+                           start_offset_ms: float,
+                           code_period_s: float = 1e-3) -> np.ndarray:
+    """Relative pseudoranges [m] at per-channel measurement epochs.
 
     abs_sample: [C, n_ms] absolute sample index of each code start.
-    ms_of_signal: [C] int measurement epoch per channel.
+    ms_of_signal: [C] int measurement epoch per channel (index into the
+    per-code-period record; one entry = one code period, 1 ms for GPS,
+    4 ms for Galileo E1B).
     (calculatePseudoranges.sci:51-74: travel time in code periods, rebased
-    to the earliest channel + startOffset, scaled by c/1000.)
+    to the earliest channel + startOffset, scaled by c*T_code.)
     """
     C = abs_sample.shape[0]
     travel = np.array([abs_sample[c, ms_of_signal[c]] / samples_per_code
                        for c in range(C)], np.float64)
-    travel = travel - np.floor(travel.min()) + start_offset_ms
-    return travel * (SPEED_OF_LIGHT / 1000.0)
+    travel = (travel - np.floor(travel.min())
+              + start_offset_ms / (code_period_s * 1e3))
+    return travel * (SPEED_OF_LIGHT * code_period_s)
 
 
 @dataclasses.dataclass
@@ -243,23 +247,44 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
              ephs: Dict[int, Ephemeris], sig: SignalConfig,
              nav: NavConfig, n_ms: int,
              carr_freq: Optional[np.ndarray] = None,
-             carrier_hz: Optional[np.ndarray] = None) -> NavSolutions:
+             carrier_hz: Optional[np.ndarray] = None,
+             satpos_fn=None, satvel_fn=None) -> NavSolutions:
     """Epoch loop: pseudoranges -> satpos -> LSQ (postNavigation.sci:154+).
 
     abs_sample: [C, n_ms] from TrackResults (channels in `prns` order).
-    subframe_start_ms: per-channel ms of the first decoded subframe start.
-    tow_s: TOW at that subframe start (same for all channels by GPS time).
+    subframe_start_ms: per-channel index (in CODE PERIODS) of the decoded
+    frame anchor (GPS: first subframe start; GLONASS: time-mark start;
+    BeiDou: first subframe start; Galileo: page boundary).
+    tow_s: satellite time at that anchor (same for all channels by the
+    constellation's common timescale; per-channel anchors decoded at
+    different frame positions must be pre-aligned to a common epoch, see
+    runtime.receiver).
     carr_freq: optional [C, n_ms] tracked absolute carrier frequency; when
     given, a per-epoch Doppler velocity + clock-drift LSQ is solved too.
     carrier_hz: [C] nominal carrier per channel (FDMA); defaults to
     sig carrier for every channel.
+    satpos_fn(t, ephs_list) -> (pos [S,3] m, clk [S] s): constellation
+    orbit propagator; defaults to the GPS Kepler satpos
+    (GPS/L1/geoFunctions/satpos.sci). GLONASS passes the PZ-90 RK4
+    integrator (satposg.sci), BeiDou the CGCS2000 Kepler variant.
+    satvel_fn(t, ephs_list) -> (pos, vel, clk): used by the velocity LSQ;
+    defaults to the central-difference Kepler propagator.
     """
     C = len(prns)
+    if satpos_fn is None:
+        satpos_fn = satpos
+    if satvel_fn is None:
+        from gnsstpu.nav.ekf import satpos_vel
+        satvel_fn = satpos_vel
+    period_s = sig.code_period_s
     sf = np.asarray(subframe_start_ms, np.int64)
     have_eph = np.array([p in ephs and ephs[p].valid for p in prns])
     sat_elev = np.full(C, np.inf)
     spc = sig.samples_per_code
-    n_epochs = int((n_ms - sf.max()) // nav.sol_period_ms)
+    # Solution-period step in record indices (code periods): sol_period_ms
+    # stays in milliseconds; for 1 ms codes this is 1:1.
+    step = max(1, int(round(nav.sol_period_ms * 1e-3 / period_s)))
+    n_epochs = int((n_ms - sf.max()) // step)
     E = n_epochs
     out = NavSolutions(
         t_ms=np.zeros(E), x=np.zeros(E), y=np.zeros(E), z=np.zeros(E),
@@ -293,15 +318,16 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
     for k in range(n_epochs):
         active = np.nonzero(have_eph & (sat_elev >= nav.elevation_mask_deg)
                             )[0]
-        out.t_ms[k] = sf.max() + k * nav.sol_period_ms
+        out.t_ms[k] = (sf.max() + k * step) * period_s * 1e3
         out.n_sats[k] = len(active)
         if len(active) < 4:
             continue
-        ms_meas = sf + k * nav.sol_period_ms
+        ms_meas = sf + k * step
         raw_p = calculate_pseudoranges(
-            abs_sample[active], ms_meas[active], spc, nav.start_offset_ms)
-        sat_p, sat_clk = satpos(transmit_time,
-                                [ephs[prns[c]] for c in active])
+            abs_sample[active], ms_meas[active], spc, nav.start_offset_ms,
+            code_period_s=period_s)
+        sat_p, sat_clk = satpos_fn(transmit_time,
+                                   [ephs[prns[c]] for c in active])
         sol = least_square_pos_raim(sat_p, raw_p + sat_clk * SPEED_OF_LIGHT,
                                     use_tropo=nav.use_tropo,
                                     iterations=nav.lsq_iterations)
@@ -321,14 +347,13 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
             *sol.pos[:3], utm_zone)
         out.valid[k] = True
         if carr_freq is not None and sol.used is not None and sol.used.sum() >= 4:
-            from gnsstpu.nav.ekf import satpos_vel
             use_idx = active[sol.used]
-            _, sv_vel, _ = satpos_vel(
+            _, sv_vel, _ = satvel_fn(
                 transmit_time, [ephs[prns[c]] for c in use_idx])
             # Average the tracked carrier over a short trailing window:
             # Doppler is near-constant over 100 ms but the per-ms loop
             # output carries PLL jitter.
-            w = min(100, int(nav.sol_period_ms))
+            w = min(100, step)
             dop_hz = np.array([
                 carr_freq[c, max(0, ms_meas[c] - w):ms_meas[c] + 1].mean()
                 for c in use_idx]) - sig.if_freq - fdma_offset[use_idx]
@@ -339,7 +364,7 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
                 out.vx[k], out.vy[k], out.vz[k] = vsol.vel
                 out.ddt[k] = vsol.ddt
                 out.vel_valid[k] = True
-        dt_epoch = nav.sol_period_ms / 1000.0
+        dt_epoch = step * period_s
         if nav.clock_steering and out.vel_valid[k]:
             # pvt.cpp:379 ClockUpdate analogue — steers the RECEIVER time
             # estimate, not the transmit-time advance: epochs here are

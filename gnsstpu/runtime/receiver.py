@@ -25,6 +25,19 @@ from gnsstpu.tracking import ChannelInit, TrackResults, track
 
 
 @dataclasses.dataclass
+class NavAnchor:
+    """Per-channel time anchor from the nav-message decoder: prompt-record
+    index (code periods) whose code start was transmitted at satellite
+    time t_anchor. GPS: first subframe start/TOW; GLONASS: time-mark
+    start (findTimeMarks.sci); BeiDou: first subframe/SOW; Galileo: page
+    boundary/GST TOW."""
+
+    found: bool = False
+    anchor_idx: int = -1
+    t_anchor: float = 0.0
+
+
+@dataclasses.dataclass
 class ReceiverOutput:
     acq: AcqResults
     channels: List[ChannelInit]
@@ -33,20 +46,29 @@ class ReceiverOutput:
     ephs: Dict[int, Ephemeris]        # by PRN
     tows: Dict[int, float]            # TOW [s] at first subframe, by PRN
     nav: Optional[pvt.NavSolutions]
+    anchors: List[NavAnchor] = dataclasses.field(default_factory=list)
 
 
-def allocate_channels(acq: AcqResults, n_channels: int) -> List[ChannelInit]:
+def allocate_channels(acq: AcqResults, n_channels: int,
+                      sd=None) -> List[ChannelInit]:
     """Strongest-first channel allocation (preRun.sci:26-34 +
-    simple_cold_allocate, osgnss_next_step.c:73-84)."""
+    simple_cold_allocate, osgnss_next_step.c:73-84). For FDMA signals the
+    per-channel carrier offset is split out of the acquired frequency so
+    doppler_hz is true Doppler (GLONASS/L1/initSettings.sci L1_IF_step)."""
     order = np.argsort(-acq.peak_metric)
     chans = []
     for i in order:
         if not acq.detected[i] or len(chans) >= n_channels:
             continue
+        prn = int(i) + 1
+        off = 0.0
+        if sd is not None and sd.fdma_zero_prn is not None:
+            off = sd.carrier_freq(prn) - sd.carrier_freq(sd.fdma_zero_prn)
         chans.append(ChannelInit(
-            prn=int(i) + 1,
+            prn=prn,
             code_phase=int(acq.code_phase[i]),
-            doppler_hz=float(acq.carr_freq[i]) ))
+            doppler_hz=float(acq.carr_freq[i]) - off,
+            if_offset_hz=off))
     return chans
 
 
@@ -59,15 +81,35 @@ def run_receiver(source, cfg: ReceiverConfig,
 
     from gnsstpu.acquisition.search import acq_samples_needed
 
-    acq_res = acquire(source.read(0, acq_samples_needed(sig, cfg.acq)),
-                      sig, cfg.acq)
-    channels = allocate_channels(acq_res, cfg.n_channels)
+    samples = source.read(0, acq_samples_needed(sig, cfg.acq))
+    if sd.fdma_zero_prn is not None:
+        from gnsstpu.acquisition.search import acquire_fdma
+        acq_res = acquire_fdma(samples, sig, cfg.acq)
+    else:
+        acq_res = acquire(samples, sig, cfg.acq)
+    channels = allocate_channels(acq_res, cfg.n_channels, sd=sd)
     if not channels:
         return ReceiverOutput(acq_res, [], None, [], {}, {}, None)
 
     tr = track(source, channels, sig, cfg.track, n_ms)
 
+    syncs, anchors, ephs, tows, fns = decode_nav(tr, channels, sig)
+    nav = navigate_from_anchors(tr, channels, anchors, ephs, sig, cfg.nav,
+                                n_ms, fns)
+    return ReceiverOutput(acq_res, channels, tr, syncs, ephs, tows, nav,
+                          anchors=anchors)
+
+
+# ---------------------------------------------------------------------------
+# Per-constellation nav-message decode (the postNavigation front half:
+# findPreambles / findTimeMarks / findSubframeStart / findPageStart +
+# the matching ephemeris decoder), normalized into NavAnchor records.
+# ---------------------------------------------------------------------------
+
+
+def _decode_gps(tr, channels, sig, sd):
     syncs: List[FrameSync] = []
+    anchors: List[NavAnchor] = []
     ephs: Dict[int, Ephemeris] = {}
     tows: Dict[int, float] = {}
     bit_len = sd.bit_len_codes
@@ -75,31 +117,138 @@ def run_receiver(source, cfg: ReceiverConfig,
         sync = frame.find_preamble(tr.i_p[c], bit_len)
         syncs.append(sync)
         if not sync.found:
+            anchors.append(NavAnchor())
             continue
         bits = frame.bits_from(tr.i_p[c], sync, bit_len)
         eph, tow = lnav.decode_subframes(bits, d30_star=sync.d30_star)
         if eph.valid and tow is not None:
             ephs[ch.prn] = eph
             tows[ch.prn] = float(tow)
+            anchors.append(NavAnchor(True, sync.first_subframe_ms,
+                                     float(tow)))
+        else:
+            anchors.append(NavAnchor())
+    from gnsstpu.nav.ekf import satpos_vel
+    from gnsstpu.nav.orbits import satpos
+    return syncs, anchors, ephs, tows, (satpos, satpos_vel)
 
-    nav = None
+
+def _decode_glonass(tr, channels, sig, sd):
+    """Time-mark anchored string decode (GLONASS/L1/postNavigation.sci:
+    findTimeMarks -> string data at +300 ms -> ephemeris strings 1-4;
+    the anchor satellite time is tk-referenced, ephemeris.sci:95-97)."""
+    from gnsstpu.nav import glonass as gl
+
+    anchors: List[NavAnchor] = []
+    ephs: Dict[int, gl.GlonassEphemeris] = {}
+    tows: Dict[int, float] = {}
+    for c, ch in enumerate(channels):
+        tm = gl.find_time_mark(tr.i_p[c])
+        if tm < 0:
+            anchors.append(NavAnchor())
+            continue
+        eph, t = gl.decode_strings(tr.i_p[c], tm + 300)
+        if eph.valid and t is not None:
+            ephs[ch.prn] = eph
+            tows[ch.prn] = float(t)
+            anchors.append(NavAnchor(True, tm, float(t)))
+        else:
+            anchors.append(NavAnchor())
+    return [], anchors, ephs, tows, (gl.satpos_gl, gl.satpos_vel_gl)
+
+
+def _decode_beidou(tr, channels, sig, sd):
+    from gnsstpu.nav import beidou as bd
+
+    anchors: List[NavAnchor] = []
+    ephs: Dict[int, bd.BeiDouEphemeris] = {}
+    tows: Dict[int, float] = {}
+    for c, ch in enumerate(channels):
+        start, _pol = bd.find_subframe(tr.i_p[c])
+        if start < 0:
+            anchors.append(NavAnchor())
+            continue
+        eph, t = bd.decode_subframes(tr.i_p[c], start)
+        if eph.valid and t is not None:
+            ephs[ch.prn] = eph
+            tows[ch.prn] = float(t)
+            anchors.append(NavAnchor(True, start, float(t)))
+        else:
+            anchors.append(NavAnchor())
+    return [], anchors, ephs, tows, (bd.satpos_bd, bd.satpos_vel_bd)
+
+
+def _decode_galileo(tr, channels, sig, sd):
+    from gnsstpu.nav import galileo as gal
+
+    anchors: List[NavAnchor] = []
+    ephs: Dict[int, gal.GalileoEphemeris] = {}
+    tows: Dict[int, float] = {}
+    for c, ch in enumerate(channels):
+        start, _pol = gal.find_page_start(tr.i_p[c])
+        if start < 0:
+            anchors.append(NavAnchor())
+            continue
+        eph, tow = gal.decode_frames(tr.i_p[c], start)
+        if eph.valid and tow is not None:
+            ephs[ch.prn] = eph
+            tows[ch.prn] = float(tow)
+            anchors.append(NavAnchor(True, start, float(tow)))
+        else:
+            anchors.append(NavAnchor())
+    return [], anchors, ephs, tows, (gal.satpos_gal, gal.satpos_vel_gal)
+
+
+_DECODERS = {
+    "gps_l1ca": _decode_gps,
+    "glonass_l1of": _decode_glonass,
+    "glonass_l2of": _decode_glonass,
+    "beidou_b1i": _decode_beidou,
+    "galileo_e1b": _decode_galileo,
+}
+
+
+def decode_nav(tr, channels, sig):
+    """Dispatch the nav-message decode for this signal family.
+
+    Returns (syncs, anchors, ephs, tows, (satpos_fn, satvel_fn)); syncs
+    is GPS-only detail (FrameSync records), anchors is uniform.
+    """
+    sd = get_signal(sig.signal)
+    dec = _DECODERS.get(sig.signal)
+    if dec is None:
+        return [], [NavAnchor() for _ in channels], {}, {}, (None, None)
+    return dec(tr, channels, sig, sd)
+
+
+def navigate_from_anchors(tr, channels, anchors, ephs, sig, nav_cfg, n_ms,
+                          fns):
+    """Common-epoch alignment + pvt.navigate.
+
+    Channels decode their anchors at different frame positions, so
+    t_anchor differs per channel (by whole frame/string periods). Align
+    every channel to the latest anchor time T0 by advancing its record
+    index ((T0 - t_c) / T_code code periods), then navigate with a single
+    common transmit epoch.
+    """
     good = [c for c, ch in enumerate(channels)
-            if ch.prn in ephs and syncs[c].found]
-    if len(good) >= 4:
-        # All channels' TOWs must agree (GPS time is common).
-        tow_set = {tows[channels[c].prn] for c in good}
-        if len(tow_set) == 1:
-            tow = tow_set.pop()
-            nav = pvt.navigate(
-                abs_sample=tr.abs_sample[good],
-                prns=[channels[c].prn for c in good],
-                subframe_start_ms=[syncs[c].first_subframe_ms
-                                   for c in good],
-                tow_s=tow,
-                ephs=ephs,
-                sig=sig,
-                nav=cfg.nav,
-                n_ms=n_ms,
-                carr_freq=tr.carr_freq[good],
-            )
-    return ReceiverOutput(acq_res, channels, tr, syncs, ephs, tows, nav)
+            if ch.prn in ephs and anchors[c].found]
+    if len(good) < 4:
+        return None
+    period = sig.code_period_s
+    t0 = max(anchors[c].t_anchor for c in good)
+    sf = [anchors[c].anchor_idx
+          + int(round((t0 - anchors[c].t_anchor) / period))
+          for c in good]
+    return pvt.navigate(
+        abs_sample=tr.abs_sample[good],
+        prns=[channels[c].prn for c in good],
+        subframe_start_ms=sf,
+        tow_s=t0,
+        ephs=ephs,
+        sig=sig,
+        nav=nav_cfg,
+        n_ms=n_ms,
+        carr_freq=tr.carr_freq[good],
+        satpos_fn=fns[0], satvel_fn=fns[1],
+    )

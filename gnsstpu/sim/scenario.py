@@ -19,7 +19,7 @@ Timing model (see also pvt.navigate):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -94,3 +94,84 @@ def build_scenario(sig: SignalConfig, ephs: Dict[int, Ephemeris],
             nav_bits=bits,
         ))
     return sats
+
+
+# ---------------------------------------------------------------------------
+# GLONASS FDMA scenario (PZ-90 state-vector ephemerides, string stream)
+# ---------------------------------------------------------------------------
+
+def signal_delay_gl(eph, recv_ecef: np.ndarray, t_receive: float) -> float:
+    """Geometric delay [s] for a GLONASS SV (PZ-90 RK4 forward model with
+    Sagnac rotation; the satposg.sci analogue of signal_delay)."""
+    from gnsstpu.nav.glonass import satposg
+
+    tau = 0.075
+    for _ in range(12):
+        pos, _, _ = satposg(t_receive - tau, [eph])
+        rot = geodesy.e_r_corr(np.array([tau]), pos)[0]
+        tau = float(np.linalg.norm(rot - recv_ecef) / SPEED_OF_LIGHT)
+    return tau
+
+
+def build_scenario_glonass(sig: SignalConfig, gephs: Dict[int, "object"],
+                           recv_ecef: np.ndarray, t0_day_s: float,
+                           duration_s: float, lead_strings: int = 1,
+                           cn0_dbhz: float = 47.0, n_strings: int = 6,
+                           seed: int = 77
+                           ) -> Tuple[List[SatParams], Dict[int, "object"]]:
+    """Geometry-consistent GLONASS FDMA SatParams + quantized ephemerides.
+
+    gephs: {freq-channel prn: GlonassEphemeris} with state vectors at tb;
+    tk fields are overwritten so string 1's data start is at satellite
+    time-of-day t0_day_s (must be a multiple of 30 s, the tk grid).
+    The stream carries `lead_strings` dummy strings (random data + the
+    0.3 s time mark) before string 1, so the first time mark the receiver
+    finds anchors string 1's data (find_time_mark -> +300 ms).
+
+    Returns (sats, quantized_ephs): the scenario is generated FROM the
+    quantized ephemerides, so the receiver-decoded ephemeris is bit-exact
+    truth and the position-fix error isolates measurement noise.
+    """
+    import dataclasses as _dc
+
+    from gnsstpu.nav import glonass as gl
+
+    sd = get_signal(sig.signal)
+    if abs(t0_day_s % 30.0) > 1e-9:
+        raise ValueError("t0_day_s must be a multiple of 30 s (tk grid)")
+    lead_s = 2.0 * lead_strings
+    rng = np.random.default_rng(seed)
+    qephs: Dict[int, gl.GlonassEphemeris] = {}
+    sats: List[SatParams] = []
+    T = duration_s
+    t_r0 = t0_day_s - lead_s
+    tk = int(round(t0_day_s))
+    for prn, eph0 in sorted(gephs.items()):
+        eph = gl.quantize_eph(_dc.replace(
+            eph0, tk_h=tk // 3600, tk_m=(tk % 3600) // 60, tk_s=tk % 60))
+        qephs[prn] = eph
+        _, _, clk = gl.satposg(t0_day_s, [eph])
+        clk = float(clk[0])
+        tau0 = signal_delay_gl(eph, recv_ecef, t_r0)
+        tau1 = signal_delay_gl(eph, recv_ecef, t_r0 + T / 2)
+        tau2 = signal_delay_gl(eph, recv_ecef, t_r0 + T)
+        taud = (4 * tau1 - 3 * tau0 - tau2) / T
+        taudd = 2 * (tau2 - 2 * tau1 + tau0) / (T * T)
+
+        f_carr = sd.carrier_freq(prn)
+        lead = []
+        for _ in range(lead_strings):
+            d = rng.choice([-1.0, 1.0], size=170)
+            lead.append(np.concatenate([d, gl.TIME_MARK_PM1]))
+        sym = np.concatenate(lead + [gl.encode_strings(eph, n_strings)])
+        sats.append(SatParams(
+            prn=prn,
+            doppler_hz=-f_carr * taud,
+            doppler_rate=-f_carr * taudd,
+            if_offset_hz=f_carr - sd.carrier_freq(sd.fdma_zero_prn),
+            code_phase_chips=(tau0 - clk) * sig.code_freq,
+            carrier_phase=float(rng.uniform(0, 2 * np.pi)),
+            cn0_dbhz=cn0_dbhz,
+            nav_bits=sym,
+        ))
+    return sats, qephs

@@ -227,3 +227,128 @@ def test_l2of_closed_loop():
     for c, s in enumerate(sats):
         settled = tr.carr_freq[c, 1000:] - s.if_offset_hz
         assert abs(np.mean(settled) - s.doppler_hz) < 3.0
+
+
+# ---------------------------------------------------------------------------
+# GLONASS position fix: the reference's headline capability
+# (GLONASS/L1/postNavigation.sci: findTimeMarks -> pseudoranges -> satposg
+# -> LSQ), closed loop on a geometry-true FDMA scenario.
+# ---------------------------------------------------------------------------
+
+GFIX_RECV = np.array([3427947.0, 603774.0, 5326967.0])
+GFIX_TB = 675                     # 11:15:00 Moscow-day time
+GFIX_T0 = GFIX_TB * 60 + 30.0     # string 1 data start: 11:15:30
+GFIX_NMS = 10000
+
+
+def make_glonass_constellation(recv_ecef, n=5, seed=3):
+    """State-vector ephemerides for n visible GLONASS SVs on distinct
+    frequency channels: satellites placed at GLONASS orbit radius along
+    chosen az/el rays, near-circular ECEF velocity."""
+    from gnsstpu.nav import geodesy
+
+    mu = 398600.44e9
+    we = 0.7292115e-4
+    r_orb = 25500e3
+    lat, lon, _ = geodesy.cart2geo(*recv_ecef, 5)
+    phi, lam = np.radians(lat), np.radians(lon)
+    e_hat = np.array([-np.sin(lam), np.cos(lam), 0.0])
+    n_hat = np.array([-np.sin(phi) * np.cos(lam),
+                      -np.sin(phi) * np.sin(lam), np.cos(phi)])
+    u_hat = np.array([np.cos(phi) * np.cos(lam),
+                      np.cos(phi) * np.sin(lam), np.sin(phi)])
+    # Az/el spread chosen for healthy geometry (one near-zenith + a low-
+    # elevation ring): GDOP ~ 3-4 with 6 SVs.
+    rays = [(0.0, 80.0), (60.0, 20.0), (130.0, 25.0), (190.0, 18.0),
+            (250.0, 30.0), (315.0, 22.0), (100.0, 55.0)][:n]
+    rng = np.random.default_rng(seed)
+    gephs = {}
+    for k, (az_d, el_d) in enumerate(rays):
+        az, el = np.radians(az_d), np.radians(el_d)
+        u = (np.cos(el) * (np.sin(az) * e_hat + np.cos(az) * n_hat)
+             + np.sin(el) * u_hat)
+        d = recv_ecef @ u
+        s = -d + np.sqrt(d * d + r_orb ** 2 - recv_ecef @ recv_ecef)
+        p = recv_ecef + s * u
+        h = np.cross(p, rng.normal(size=3))
+        h /= np.linalg.norm(h)
+        v_i = np.sqrt(mu / r_orb) * h
+        v = v_i - np.cross(np.array([0.0, 0.0, we]), p)
+        prn = 5 + k                       # freq channels -3..+3 around 0
+        gephs[prn] = gl.GlonassEphemeris(
+            tb=GFIX_TB, x=p[0] / 1e3, y=p[1] / 1e3, z=p[2] / 1e3,
+            xdot=v[0] / 1e3, ydot=v[1] / 1e3, zdot=v[2] / 1e3,
+            taun=float(rng.uniform(-1e-4, 1e-4)),
+            gamman=float(rng.uniform(-2e-12, 2e-12)),
+            n=prn, valid=True)
+    return gephs
+
+
+@pytest.fixture(scope="module")
+def glonass_fix_output():
+    from gnsstpu.config import NavConfig, ReceiverConfig
+    from gnsstpu.runtime.receiver import run_receiver
+    from gnsstpu.sim.scenario import build_scenario_glonass
+
+    sig = SignalConfig(signal="glonass_l1of", if_freq=0.0, fs=4.088e6,
+                       code_freq=0.511e6, code_length=511,
+                       fdma_step=562.5e3, complex_iq=True)
+    gephs = make_glonass_constellation(GFIX_RECV, n=6)
+    sats, qephs = build_scenario_glonass(
+        sig, gephs, GFIX_RECV, GFIX_T0, duration_s=GFIX_NMS / 1000.0,
+        cn0_dbhz=48.0, n_strings=4)
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=31)
+    src = SimSource(sim, GFIX_NMS + 60)
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=14e3, coherent_ms=2, threshold=2.5),
+        track=TrackConfig(dll_bw=1.0, pll_bw=25.0, fll_bw=250.0,
+                          aid_div=1602e6 / 0.511e6),
+        nav=NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
+                      use_tropo=False),
+        n_channels=6, ms_to_process=GFIX_NMS)
+    return qephs, run_receiver(src, cfg, n_ms=GFIX_NMS)
+
+
+def test_glonass_fdma_scenario_acquired(glonass_fix_output):
+    qephs, out = glonass_fix_output
+    assert sorted(ch.prn for ch in out.channels) == sorted(qephs)
+
+
+def test_glonass_strings_decoded_bit_exact(glonass_fix_output):
+    qephs, out = glonass_fix_output
+    assert sorted(out.ephs) == sorted(qephs)
+    for prn, dec in out.ephs.items():
+        truth = qephs[prn]
+        for f in ("x", "y", "z", "xdot", "ydot", "zdot", "taun",
+                  "gamman", "tb", "n"):
+            assert getattr(dec, f) == getattr(truth, f), (prn, f)
+        # All channels anchor the same satellite time (string-synced).
+        assert out.tows[prn] == GFIX_T0 - 0.3
+
+
+def test_glonass_position_fix(glonass_fix_output):
+    """The framework's first-open-source-GLONASS-receiver parity test:
+    time-mark pseudoranges + satposg RK4 orbits -> LSQ position."""
+    qephs, out = glonass_fix_output
+    assert out.nav is not None, "no GLONASS navigation solution"
+    valid = out.nav.valid
+    assert valid.sum() >= 10, f"only {valid.sum()} valid epochs"
+    err = np.stack([out.nav.x[valid] - GFIX_RECV[0],
+                    out.nav.y[valid] - GFIX_RECV[1],
+                    out.nav.z[valid] - GFIX_RECV[2]])
+    err3d = np.linalg.norm(err, axis=0)
+    assert np.mean(err3d) < 25.0, f"mean 3D error {np.mean(err3d):.1f} m"
+    assert np.max(err3d) < 75.0, f"max 3D error {np.max(err3d):.1f} m"
+
+
+def test_glonass_velocity_solution(glonass_fix_output):
+    """Static receiver: the FDMA-corrected Doppler velocity LSQ must give
+    near-zero speed (regression for the per-channel FDMA carrier-offset
+    subtraction in pvt.navigate)."""
+    _, out = glonass_fix_output
+    assert out.nav.vel_valid.sum() >= 10
+    v = np.stack([out.nav.vx, out.nav.vy, out.nav.vz], axis=1)
+    speed = np.linalg.norm(v[out.nav.vel_valid], axis=1)
+    assert np.mean(speed) < 3.0, f"mean speed {np.mean(speed):.2f} m/s"
+    assert np.max(speed) < 10.0, f"max speed {np.max(speed):.2f} m/s"

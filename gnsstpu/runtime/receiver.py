@@ -91,7 +91,15 @@ def run_receiver(source, cfg: ReceiverConfig,
     if not channels:
         return ReceiverOutput(acq_res, [], None, [], {}, {}, None)
 
-    tr = track(source, channels, sig, cfg.track, n_ms)
+    if sig.signal == "galileo_e1b":
+        # Production Galileo tracking is the BOC double-estimator
+        # (DLL+SLL, GALILEO/E1/tracking.sci:317-430) — unambiguous,
+        # unlike a plain DLL on the composite code; n_ms counts 4 ms
+        # code periods for this signal.
+        from gnsstpu.tracking.boc import track_boc
+        tr = track_boc(source, channels, sig, cfg.track, n_blocks=n_ms)
+    else:
+        tr = track(source, channels, sig, cfg.track, n_ms)
 
     syncs, anchors, ephs, tows, fns = decode_nav(tr, channels, sig)
     nav = navigate_from_anchors(tr, channels, anchors, ephs, sig, cfg.nav,
@@ -184,18 +192,27 @@ def _decode_galileo(tr, channels, sig, sd):
     anchors: List[NavAnchor] = []
     ephs: Dict[int, gal.GalileoEphemeris] = {}
     tows: Dict[int, float] = {}
+    prompt = tr.i_pp if hasattr(tr, "i_pp") else tr.i_p  # BOC tracker P/P
     for c, ch in enumerate(channels):
-        start, _pol = gal.find_page_start(tr.i_p[c])
-        if start < 0:
+        # Pull-in junk at stream start can fake the 10-symbol sync; the
+        # CRC rejects it, so retry from later offsets (one page part
+        # = 250 symbols) before giving up.
+        anchor = None
+        for skip in (0, 250, 500):
+            start, _pol = gal.find_page_start(prompt[c, skip:])
+            if start < 0:
+                continue
+            eph, tow = gal.decode_frames(prompt[c, skip:], start)
+            if eph.valid and tow is not None:
+                anchor = (skip + start, float(tow), eph)
+                break
+        if anchor is None:
             anchors.append(NavAnchor())
             continue
-        eph, tow = gal.decode_frames(tr.i_p[c], start)
-        if eph.valid and tow is not None:
-            ephs[ch.prn] = eph
-            tows[ch.prn] = float(tow)
-            anchors.append(NavAnchor(True, start, float(tow)))
-        else:
-            anchors.append(NavAnchor())
+        idx, tow, eph = anchor
+        ephs[ch.prn] = eph
+        tows[ch.prn] = tow
+        anchors.append(NavAnchor(True, idx, tow))
     return [], anchors, ephs, tows, (gal.satpos_gal, gal.satpos_vel_gal)
 
 

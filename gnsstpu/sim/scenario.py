@@ -32,18 +32,29 @@ from gnsstpu.signals.registry import get_signal
 
 
 def signal_delay(eph: Ephemeris, recv_ecef: np.ndarray, t_receive: float,
-                 ) -> float:
+                 satpos_fn=satpos) -> float:
     """Geometric signal delay tau [s] for reception at true time t_receive.
 
     Fixed-point in emission time with Sagnac frame rotation (the forward
-    model of leastSquarePos.sci's e_r_corr iteration).
+    model of leastSquarePos.sci's e_r_corr iteration). satpos_fn selects
+    the constellation propagator (default GPS Kepler).
     """
     tau = 0.075
     for _ in range(12):
-        pos, _ = satpos(t_receive - tau, [eph])
+        pos, _ = satpos_fn(t_receive - tau, [eph])
         rot = geodesy.e_r_corr(np.array([tau]), pos)[0]
         tau = float(np.linalg.norm(rot - recv_ecef) / SPEED_OF_LIGHT)
     return tau
+
+
+def _fit_delay(eph, recv_ecef, t_r0, T, satpos_fn):
+    """(tau0, taud, taudd): quadratic delay fit over the run."""
+    tau0 = signal_delay(eph, recv_ecef, t_r0, satpos_fn)
+    tau1 = signal_delay(eph, recv_ecef, t_r0 + T / 2, satpos_fn)
+    tau2 = signal_delay(eph, recv_ecef, t_r0 + T, satpos_fn)
+    taud = (4 * tau1 - 3 * tau0 - tau2) / T
+    taudd = 2 * (tau2 - 2 * tau1 + tau0) / (T * T)
+    return tau0, taud, taudd
 
 
 def build_scenario(sig: SignalConfig, ephs: Dict[int, Ephemeris],
@@ -169,6 +180,102 @@ def build_scenario_glonass(sig: SignalConfig, gephs: Dict[int, "object"],
             doppler_hz=-f_carr * taud,
             doppler_rate=-f_carr * taudd,
             if_offset_hz=f_carr - sd.carrier_freq(sd.fdma_zero_prn),
+            code_phase_chips=(tau0 - clk) * sig.code_freq,
+            carrier_phase=float(rng.uniform(0, 2 * np.pi)),
+            cn0_dbhz=cn0_dbhz,
+            nav_bits=sym,
+        ))
+    return sats, qephs
+
+
+# ---------------------------------------------------------------------------
+# BeiDou D1 and Galileo I/NAV scenarios (Kepler-form ephemerides)
+# ---------------------------------------------------------------------------
+
+def build_scenario_beidou(sig: SignalConfig, ephs: Dict[int, "object"],
+                          recv_ecef: np.ndarray, sow0: int,
+                          duration_s: float, lead_s: float = 2.0,
+                          cn0_dbhz: float = 47.0, n_subframes: int = 3,
+                          seed: int = 41
+                          ) -> Tuple[List[SatParams], Dict[int, "object"]]:
+    """Geometry-consistent BeiDou B1I D1 SatParams + quantized ephs.
+
+    sow0: BDT seconds-of-week of the first encoded subframe start. The
+    symbol stream is lead_s of random 1 ms symbols, then subframes
+    1..n_subframes (encode_symbols bakes bit x NH(20)). Ephemerides are
+    quantized through the D1 codec so the decoded fields are truth.
+    """
+    from gnsstpu.nav import beidou as bd
+
+    sd = get_signal(sig.signal)
+    rng = np.random.default_rng(seed)
+    n_lead = int(round(lead_s / sig.code_period_s))
+    qephs = {}
+    sats: List[SatParams] = []
+    t_r0 = sow0 - lead_s
+    for prn, eph0 in sorted(ephs.items()):
+        q, _ = bd.decode_subframes(
+            bd.encode_symbols(eph0, 0, n_subframes=3) * 800.0, 0, 3)
+        qephs[prn] = q
+        _, clk = bd.satpos_bd(float(sow0), [q])
+        clk = float(clk[0])
+        tau0, taud, taudd = _fit_delay(q, recv_ecef, t_r0, duration_s,
+                                       bd.satpos_bd)
+        f_carr = sd.carrier_freq(prn)
+        sym = np.concatenate([
+            rng.choice([-1.0, 1.0], size=n_lead),
+            bd.encode_symbols(q, sow0, n_subframes=n_subframes)])
+        sats.append(SatParams(
+            prn=prn,
+            doppler_hz=-f_carr * taud,
+            doppler_rate=-f_carr * taudd,
+            code_phase_chips=(tau0 - clk) * sig.code_freq,
+            carrier_phase=float(rng.uniform(0, 2 * np.pi)),
+            cn0_dbhz=cn0_dbhz,
+            nav_bits=sym,
+        ))
+    return sats, qephs
+
+
+def build_scenario_galileo(sig: SignalConfig, ephs: Dict[int, "object"],
+                           recv_ecef: np.ndarray, tow0: int,
+                           duration_s: float, lead_s: float = 2.0,
+                           cn0_dbhz: float = 47.0, n_pages: int = 5,
+                           seed: int = 59
+                           ) -> Tuple[List[SatParams], Dict[int, "object"]]:
+    """Geometry-consistent Galileo E1B I/NAV SatParams + quantized ephs.
+
+    tow0: GST TOW of the first nominal page start. Symbols are 250 sps
+    (one per 4 ms code period); lead_s of random symbols precede the
+    pages (must be a multiple of the code period).
+    """
+    from gnsstpu.nav import galileo as gal
+
+    sd = get_signal(sig.signal)
+    rng = np.random.default_rng(seed)
+    n_lead = int(round(lead_s / sig.code_period_s))
+    if abs(n_lead * sig.code_period_s - lead_s) > 1e-9:
+        raise ValueError("lead_s must be a whole number of code periods")
+    qephs = {}
+    sats: List[SatParams] = []
+    t_r0 = tow0 - lead_s
+    for prn, eph0 in sorted(ephs.items()):
+        q, _ = gal.decode_frames(
+            gal.encode_frames(eph0, tow0=0, n_pages=5) * 800.0, 0)
+        q.SVID = prn
+        qephs[prn] = q
+        _, clk = gal.satpos_gal(float(tow0), [q])
+        clk = float(clk[0])
+        tau0, taud, taudd = _fit_delay(q, recv_ecef, t_r0, duration_s,
+                                       gal.satpos_gal)
+        f_carr = sd.carrier_freq(prn)
+        sym = np.concatenate([
+            rng.choice([-1.0, 1.0], size=n_lead),
+            gal.encode_frames(q, tow0=tow0, n_pages=n_pages)])
+        sats.append(SatParams(
+            prn=prn,
+            doppler_hz=-f_carr * taud,
+            doppler_rate=-f_carr * taudd,
             code_phase_chips=(tau0 - clk) * sig.code_freq,
             carrier_phase=float(rng.uniform(0, 2 * np.pi)),
             cn0_dbhz=cn0_dbhz,

@@ -139,3 +139,82 @@ def test_b1i_closed_loop():
     assert t == 7000 + (1000 + start - 2000) // 6000 * 6
     lsb = 2.0 ** -19
     assert dec.sqrtA == pytest.approx(round(eph.sqrtA / lsb) * lsb)
+
+
+# ---------------------------------------------------------------------------
+# BeiDou B1I D1 position fix (COMPASS/B1 postNavigation analogue):
+# NH-wiped subframe sync -> SOW pseudoranges -> CGCS2000 Kepler -> LSQ.
+# ---------------------------------------------------------------------------
+
+BD_RECV = np.array([3427947.0, 603774.0, 5326967.0])
+BD_SOW0 = 123000            # = t_oe (subframe grid: multiple of 6 s)
+BD_NMS = 20600
+
+
+def make_bd_constellation(n=5):
+    """Synthetic CGCS2000 constellation; n highest-elevation MEO SVs."""
+    from gnsstpu.nav import geodesy
+
+    base = make_bdeph()
+    ephs = []
+    for k in range(30):
+        e = bd.BeiDouEphemeris(**{**base.__dict__})
+        e.M_0 = (base.M_0 + 2.3 * k) % (2 * np.pi) - np.pi
+        e.omega_0 = (base.omega_0 + 1.3 * k) % (2 * np.pi) - np.pi
+        e.i_0 = 0.93 + 0.04 * (k % 3)
+        ephs.append(e)
+    pos, _ = bd.satpos_bd(float(BD_SOW0), ephs)
+    _, el, _ = geodesy.topocent(BD_RECV, pos - BD_RECV)
+    order = np.argsort(-el)[:n]
+    assert el[order[-1]] > 15.0
+    return {int(k) + 1: ephs[k] for k in order}
+
+
+@pytest.fixture(scope="module")
+def beidou_fix_output():
+    from gnsstpu.config import NavConfig, ReceiverConfig
+    from gnsstpu.runtime.receiver import run_receiver
+    from gnsstpu.sim.scenario import build_scenario_beidou
+
+    sig = SignalConfig(signal="beidou_b1i", if_freq=0.0, fs=4.096e6,
+                       code_freq=2.046e6, code_length=2046,
+                       complex_iq=True)
+    ephs = make_bd_constellation(5)
+    sats, qephs = build_scenario_beidou(
+        sig, ephs, BD_RECV, BD_SOW0, duration_s=BD_NMS / 1000.0,
+        cn0_dbhz=48.0, n_subframes=4)
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=17)
+    src = SimSource(sim, BD_NMS + 60)
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=12e3, coherent_ms=1, threshold=2.0,
+                      doppler_step=125.0),
+        track=TrackConfig(dll_bw=1.5, pll_bw=25.0, fll_bw=150.0,
+                          fll_disc="atan",
+                          aid_div=1561.098e6 / 2.046e6),
+        nav=NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
+                      use_tropo=False),
+        n_channels=6, ms_to_process=BD_NMS)
+    return qephs, run_receiver(src, cfg, n_ms=BD_NMS)
+
+
+def test_beidou_d1_decoded_bit_exact(beidou_fix_output):
+    qephs, out = beidou_fix_output
+    assert sorted(out.ephs) == sorted(qephs)
+    for prn, dec in out.ephs.items():
+        truth = qephs[prn]
+        for f in ("sqrtA", "e", "M_0", "omega_0", "i_0", "t_oe", "a0",
+                  "a1", "deltan", "omega"):
+            assert getattr(dec, f) == getattr(truth, f), (prn, f)
+
+
+def test_beidou_position_fix(beidou_fix_output):
+    qephs, out = beidou_fix_output
+    assert out.nav is not None, "no BeiDou navigation solution"
+    valid = out.nav.valid
+    assert valid.sum() >= 10, f"only {valid.sum()} valid epochs"
+    err3d = np.linalg.norm(np.stack(
+        [out.nav.x[valid] - BD_RECV[0], out.nav.y[valid] - BD_RECV[1],
+         out.nav.z[valid] - BD_RECV[2]]), axis=0)
+    assert np.mean(err3d) < 25.0, f"mean 3D error {np.mean(err3d):.1f} m"
+    assert np.max(err3d) < 80.0, f"max 3D error {np.max(err3d):.1f} m"

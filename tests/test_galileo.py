@@ -163,3 +163,79 @@ def test_e1b_closed_loop():
     assert dec.sqrtA == pytest.approx(round(eph.sqrtA / lsb) * lsb)
     # TOW of the first decoded page maps back to the symbol index.
     assert tow == 123456 + ((300 + start) - 380) // 250
+
+
+# ---------------------------------------------------------------------------
+# Galileo E1B position fix: double-estimator tracking -> I/NAV words 1-5
+# -> GST pseudoranges -> GTRF Kepler -> LSQ.
+# ---------------------------------------------------------------------------
+
+GAL_RECV = np.array([3427947.0, 603774.0, 5326967.0])
+GAL_TOW0 = 351000           # = t_oe
+GAL_NPER = 3250             # 4 ms code periods (13 s)
+
+
+def make_gal_constellation(n=5):
+    from gnsstpu.nav import geodesy
+
+    base = make_galeph()
+    ephs = []
+    for k in range(30):
+        e = gal.GalileoEphemeris(**{**base.__dict__})
+        e.M_0 = (base.M_0 + 2.7 * k) % (2 * np.pi) - np.pi
+        e.omega_0 = (base.omega_0 + 1.7 * k) % (2 * np.pi) - np.pi
+        e.i_0 = 0.95 + 0.03 * (k % 3)
+        ephs.append(e)
+    pos, _ = gal.satpos_gal(float(GAL_TOW0), ephs)
+    _, el, _ = geodesy.topocent(GAL_RECV, pos - GAL_RECV)
+    order = np.argsort(-el)[:n]
+    assert el[order[-1]] > 15.0
+    return {int(k) + 1: ephs[k] for k in order}
+
+
+@pytest.fixture(scope="module")
+def galileo_fix_output():
+    from gnsstpu.config import NavConfig, ReceiverConfig
+    from gnsstpu.runtime.receiver import run_receiver
+    from gnsstpu.sim.scenario import build_scenario_galileo
+
+    ephs = make_gal_constellation(5)
+    sats, qephs = build_scenario_galileo(
+        SIG, ephs, GAL_RECV, GAL_TOW0,
+        duration_s=GAL_NPER * SIG.code_period_s,
+        cn0_dbhz=48.0, n_pages=6)
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=23)
+    src = SimSource(sim, int((GAL_NPER + 8) * SIG.code_period_ms))
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=9e3, coherent_ms=1, threshold=2.2,
+                      doppler_step=75.0, prn_list=tuple(sorted(qephs))),
+        track=TrackConfig(dll_bw=1.0, el_spacing=0.25, pll_bw=15.0,
+                          fll_bw=50.0, sll_bw=0.5, sll_spacing=0.25,
+                          aid_div=1540.0),
+        nav=NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
+                      use_tropo=False),
+        n_channels=5, ms_to_process=GAL_NPER)
+    return qephs, run_receiver(src, cfg, n_ms=GAL_NPER)
+
+
+def test_galileo_inav_decoded_bit_exact(galileo_fix_output):
+    qephs, out = galileo_fix_output
+    assert sorted(out.ephs) == sorted(qephs)
+    for prn, dec in out.ephs.items():
+        truth = qephs[prn]
+        for f in ("sqrtA", "e", "M_0", "omega_0", "i_0", "t_oe", "a_f0",
+                  "a_f1", "deltan", "omega", "IODnav"):
+            assert getattr(dec, f) == getattr(truth, f), (prn, f)
+
+
+def test_galileo_position_fix(galileo_fix_output):
+    qephs, out = galileo_fix_output
+    assert out.nav is not None, "no Galileo navigation solution"
+    valid = out.nav.valid
+    assert valid.sum() >= 8, f"only {valid.sum()} valid epochs"
+    err3d = np.linalg.norm(np.stack(
+        [out.nav.x[valid] - GAL_RECV[0], out.nav.y[valid] - GAL_RECV[1],
+         out.nav.z[valid] - GAL_RECV[2]]), axis=0)
+    assert np.mean(err3d) < 25.0, f"mean 3D error {np.mean(err3d):.1f} m"
+    assert np.max(err3d) < 80.0, f"max 3D error {np.max(err3d):.1f} m"

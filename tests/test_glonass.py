@@ -290,7 +290,7 @@ def glonass_fix_output():
     from gnsstpu.runtime.receiver import run_receiver
     from gnsstpu.sim.scenario import build_scenario_glonass
 
-    sig = SignalConfig(signal="glonass_l1of", if_freq=0.0, fs=4.088e6,
+    sig = SignalConfig(signal="glonass_l1of", if_freq=0.0, fs=4.096e6,
                        code_freq=0.511e6, code_length=511,
                        fdma_step=562.5e3, complex_iq=True)
     gephs = make_glonass_constellation(GFIX_RECV, n=6)

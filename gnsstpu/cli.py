@@ -118,8 +118,16 @@ def cmd_track(args) -> int:
         from gnsstpu.runtime.console import CommandBus
         bus = CommandBus(args.commands)
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
-                         epoch_ms=args.epoch_ms, commands=bus)
-    recs = mgr.run(args.ms)
+                         epoch_ms=args.epoch_ms, commands=bus,
+                         engine=args.engine)
+    if args.profile:
+        # Opt-in JAX profiler trace (SURVEY §5 tracing: the reference's
+        # Threaded_Object tic counters; here a real xplane trace).
+        import jax
+        with jax.profiler.trace(args.profile):
+            recs = mgr.run(args.ms)
+    else:
+        recs = mgr.run(args.ms)
     if args.checkpoint:
         import jax
 
@@ -238,6 +246,11 @@ def main(argv=None) -> int:
     p.add_argument("--dll-bw", type=float, default=1.0)
     p.add_argument("--log", default=None, help="telemetry JSONL path")
     p.add_argument("--checkpoint", default=None, help=".npz state path")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "fused", "gather", "table"],
+                   help="tracking engine (auto = fused Pallas on TPU)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
     p.add_argument("--commands", default=None,
                    help="JSONL command file polled each epoch "
                         "(drop/mask/unmask/set/stop)")

@@ -8,22 +8,23 @@ period. The BOC(1,1) subcarrier ("meandr" in the reference,
 initSettings.sci keys meandrFreqBasis = 2.046 MHz / meandrLength = 8184)
 flips sign every half chip.
 
-This module does NOT embed the ICD code tables. Codes come from either:
-  1. a user-registered code file (`load_codes(path)`) holding one hex
-     string per PRN in the reference's format, or
-  2. a deterministic synthetic fallback — seeded pseudo-random ±1
-     sequences with the same length/balance statistics. Simulator,
-     acquisition, tracking, and decode all pull codes through the same
-     registry, so closed-loop operation is self-consistent either way;
-     processing *recorded* Galileo IF data requires loading real codes.
+The real ICD code tables ship with the framework
+(signals/data/galileo_e1_codes.npz: E1B + E1C primary codes from the
+Galileo OS SIS ICD Annex C, bit-packed) and are served by default, so
+recorded E1 IF data decodes out of the box. `load_codes(path)` still
+overrides them from a user-supplied hex table (one hex string per PRN,
+the readE1Bcode.sci format).
 """
 
 from __future__ import annotations
 
 import functools
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
+
+_DATA = Path(__file__).parent / "data" / "galileo_e1_codes.npz"
 
 CODE_FREQ = 1.023e6          # primary-code chip rate [Hz]
 CODE_LENGTH = 4092           # chips per 4 ms period
@@ -67,20 +68,37 @@ def load_codes(path: str) -> None:
 
 
 @functools.lru_cache(maxsize=None)
+def _icd_codes(component: str) -> np.ndarray:
+    """ICD memory codes from the bundled packed-bit table.
+
+    Returns ±1 int8 [50, 4092]; component 'e1b' or 'e1c'."""
+    packed = np.load(_DATA)[component]
+    bits = np.unpackbits(packed, axis=1)[:, :CODE_LENGTH]
+    return (1 - 2 * bits.astype(np.int8)).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=None)
 def primary_code(prn: int) -> np.ndarray:
     """±1 int8 [4092] E1B primary code for PRN 1..50.
 
-    Real memory code if load_codes() was called; otherwise the synthetic
-    deterministic fallback (documented in the module docstring).
+    The real ICD memory code (bundled table), unless load_codes()
+    registered a user table.
     """
     if not 1 <= prn <= NUM_PRN:
         raise ValueError(f"E1 PRN must be 1..{NUM_PRN}, got {prn}")
     if _user_codes is not None:
         return _user_codes[prn - 1]
-    # Deterministic synthetic memory code: seeded Philox stream, balanced
-    # like the real codes (|sum| small), fixed per PRN forever.
-    rng = np.random.default_rng(np.random.SeedSequence([0xE1B, prn]))
-    return rng.choice(np.array([-1, 1], np.int8), CODE_LENGTH)
+    return _icd_codes("e1b")[prn - 1]
+
+
+@functools.lru_cache(maxsize=None)
+def pilot_code(prn: int) -> np.ndarray:
+    """±1 int8 [4092] E1C (pilot) primary code for PRN 1..50, from the
+    bundled ICD table. The full pilot spreading applies CS25 (25-chip
+    secondary code over 100 ms) on top."""
+    if not 1 <= prn <= NUM_PRN:
+        raise ValueError(f"E1 PRN must be 1..{NUM_PRN}, got {prn}")
+    return _icd_codes("e1c")[prn - 1]
 
 
 def subcarrier() -> np.ndarray:

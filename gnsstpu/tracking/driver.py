@@ -56,15 +56,26 @@ class TrackResults:
     pll_disc_filt: np.ndarray
 
 
+def resolve_engine(code_mode: str = "auto") -> str:
+    """Resolve the tracking engine: "auto" is the fused Pallas kernel on a
+    TPU backend (the production engine, ops.track_kernel) and the exact
+    XLA scan engine elsewhere (portable oracle)."""
+    if code_mode != "auto":
+        return code_mode
+    return "fused" if jax.default_backend() == "tpu" else "gather"
+
+
 def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
           trk: TrackConfig, n_ms: int, chunk_ms: int = 256,
-          code_mode: str = "gather") -> TrackResults:
+          code_mode: str = "auto") -> TrackResults:
     """Track all channels for n_ms code periods.
 
     source: SampleSource (see gnsstpu.runtime.sources).
-    code_mode: "gather" (exact) or "table" (TPU-fast) — see
-    tracking.scan.make_tracker.
+    code_mode: "auto" (fused on TPU, gather elsewhere), "fused" (Pallas
+    production kernel), "gather" (exact oracle), or "table" (XLA scan with
+    phase-row tables) — see tracking.scan.make_tracker / tracking.fused.
     """
+    code_mode = resolve_engine(code_mode)
     C = len(channels)
     spc = sig.samples_per_code
     # Chunk margin: initial code-phase spread (one code period) plus
@@ -72,7 +83,12 @@ def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
     drift = int(np.ceil(n_ms * 1e-3 * 2e-5 * sig.fs)) + 64
     chunk_len = chunk_ms * spc + spc + drift + 2
 
-    if code_mode == "table":
+    if code_mode == "fused":
+        from gnsstpu.tracking.fused import (fused_code_table,
+                                            make_fused_tracker)
+        codes_dev = jnp.asarray(fused_code_table(
+            sig, trk, [ch.prn for ch in channels]))
+    elif code_mode == "table":
         tab = code_tables.phase_row_table(
             sig.signal, sig.fs, sig.code_freq, sig.code_length, spc + 2)
         codes_dev = jnp.asarray(
@@ -92,8 +108,11 @@ def track(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         if_offsets_hz=[ch.if_offset_hz for ch in channels])
     consts = (jnp.asarray(carr_base), jnp.asarray(inv_aid))
 
-    tracker = tscan.make_tracker(sig, trk, n_blocks=chunk_ms,
-                                 code_mode=code_mode)
+    if code_mode == "fused":
+        tracker = make_fused_tracker(sig, trk, n_blocks=chunk_ms)
+    else:
+        tracker = tscan.make_tracker(sig, trk, n_blocks=chunk_ms,
+                                     code_mode=code_mode)
 
     n_chunks = int(np.ceil(n_ms / chunk_ms))
     outs = []

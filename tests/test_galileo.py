@@ -239,3 +239,37 @@ def test_galileo_position_fix(galileo_fix_output):
          out.nav.z[valid] - GAL_RECV[2]]), axis=0)
     assert np.mean(err3d) < 25.0, f"mean 3D error {np.mean(err3d):.1f} m"
     assert np.max(err3d) < 80.0, f"max 3D error {np.max(err3d):.1f} m"
+
+
+def test_e1b_codes_are_real_icd_codes():
+    """Default E1B primary codes must be the Galileo OS SIS ICD Annex C
+    memory codes (reference ships the same table,
+    GALILEO/E1/include/galileo-primary-code.txt via readE1Bcode.sci).
+    First chips checked against the ICD hex (PRN1 starts 0xF5D71013:
+    readE1Bcode.sci E1B(1))."""
+    from gnsstpu.signals import galileo_e1 as e1
+
+    first = {
+        1: "111101011101011100010000",
+        11: "101011111010011111111011",
+        19: "101010111010011101011001",
+    }
+    for prn, bits in first.items():
+        code = e1.primary_code(prn)
+        want = (1 - 2 * np.array([int(b) for b in bits], np.int8))
+        np.testing.assert_array_equal(code[:len(bits)], want)
+        # ICD property: every E1B code is perfectly balanced.
+        assert int(code.astype(np.int64).sum()) == 0
+        assert len(code) == 4092
+
+
+def test_e1c_pilot_codes_distinct_and_balanced():
+    from gnsstpu.signals import galileo_e1 as e1
+
+    seen = set()
+    for prn in (1, 7, 33, 50):
+        c = e1.pilot_code(prn)
+        assert len(c) == 4092 and int(c.astype(np.int64).sum()) == 0
+        assert not np.array_equal(c, e1.primary_code(prn))
+        seen.add(c.tobytes())
+    assert len(seen) == 4

@@ -145,3 +145,42 @@ def test_timeblock_long_coherent_matches_oracle():
     cube1 = np.asarray(long_coherent_acquire(
         samples, sig, prns, dopp, mesh1, k_periods=k))
     assert np.allclose(cube1 / scale, want / scale, atol=2e-3)
+
+
+def test_sharded_fused_tracking_matches_single_device(sim_samples):
+    """The PRODUCTION fused Pallas kernel under shard_map over the channel
+    axis must be bit-identical to the single-device fused kernel (same
+    pallas_call per shard; channels independent, zero collectives)."""
+    from gnsstpu.parallel.fused_shard import (make_sharded_fused_tracker,
+                                              shard_fused_inputs)
+    from gnsstpu.tracking.fused import fused_code_table, make_fused_tracker
+
+    sats, samples = sim_samples
+    trk = TrackConfig(dll_bw=1.0, el_spacing=0.3)
+    spchip = SIG.fs / SIG.code_freq
+    prns = [s.prn for s in sats] * 2           # 8 channels, 4-way shard
+    cps = [int(round(s.code_phase_chips * spchip)) for s in sats] * 2
+    dops = [s.doppler_hz + 25.0 for s in sats] * 2
+
+    tab = jnp.asarray(fused_code_table(SIG, trk, prns))
+    n_blocks = 6
+    chunk = jnp.asarray(samples[: (n_blocks + 2) * SIG.samples_per_code])
+    cb, ia = tscan.channel_consts(SIG, trk, prns)
+    consts = (jnp.asarray(cb), jnp.asarray(ia))
+    state0 = tscan.TrackState.init(np.array(cps), np.array(dops, np.float32))
+    state0 = jax.tree.map(jnp.asarray, state0)
+
+    single = make_fused_tracker(SIG, trk, n_blocks=n_blocks, interpret=True)
+    ref_state, ref_out = single(chunk, tab, consts, state0)
+
+    mesh = make_mesh([("channel", 4)])
+    st_s, tab_s, consts_s, chunk_s = shard_fused_inputs(
+        state0, tab, consts, chunk, mesh)
+    sharded = make_sharded_fused_tracker(
+        SIG, trk, mesh=mesh, n_blocks=n_blocks, interpret=True)
+    got_state, got_out = sharded(chunk_s, tab_s, consts_s, st_s)
+
+    for a, b in zip(jax.tree.leaves(ref_out), jax.tree.leaves(got_out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref_state), jax.tree.leaves(got_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -203,3 +203,47 @@ def test_cli_simulate_acquire_roundtrip(tmp_path):
     det = [x for x in rows if x["detected"]]
     assert [x["prn"] for x in det] == [4]
     assert abs(det[0]["carr_freq_hz"] - 1200.0) < 10.0
+
+
+def test_manager_fused_engine_tracks(tmp_path):
+    """The fused Pallas engine (the PRODUCTION path, engine='fused',
+    interpret-mode off-TPU) drives the manager slot bank: acquisition
+    hands off, the slot confirms and tracks with the right Doppler, and
+    task_health stage timers are emitted (SURVEY §5 tracing)."""
+    import json
+
+    sats = [SatParams(prn=7, doppler_hz=1200.0, code_phase_chips=150.25,
+                      cn0_dbhz=47.0)]
+    n_ms = 400
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=11)
+
+    class SimSource:
+        def read(self, start, count):
+            block = SIG.samples_per_code
+            ms0 = max(0, start // block)
+            buf = sim.generate(count // block + 3, ms0)
+            off = start - ms0 * block
+            return buf[off: off + count]
+
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(7,), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0, el_spacing=0.3),
+        n_channels=2,
+    )
+    sink = io.StringIO()
+    mgr = ChannelManager(SimSource(), cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=100, engine="fused")
+    assert mgr.engine == "fused"
+    recs = mgr.run(n_ms)
+    last = recs[-1]
+    assert 7 in {int(p) for p in last.prn if p}
+    i7 = list(last.prn).index(7)
+    assert abs(last.doppler_hz[i7] - 1200.0) < 3.0
+    assert last.cn0_dbhz[i7] > 40.0
+    health = [json.loads(l) for l in sink.getvalue().splitlines()
+              if '"task_health"' in l]
+    stages = {h["stage"] for h in health}
+    assert {"acquire", "track", "assess"} <= stages
+    assert all(h["wall_s"] >= 0 for h in health)

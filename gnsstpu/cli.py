@@ -111,7 +111,22 @@ def cmd_track(args) -> int:
     cfg = ReceiverConfig(signal=sig, acq=_acq_config(args),
                          track=TrackConfig(dll_bw=args.dll_bw),
                          n_channels=args.channels)
-    src = _file_source(args)
+    if args.stream:
+        # Live pipeline: producer thread -> native ring FIFO ->
+        # StreamSource (reference FIFO/GPS_Source fabric,
+        # objects/fifo.cpp:53-187, gps_source.cpp:135).
+        from gnsstpu import native
+        from gnsstpu.runtime.sources import (FileStreamProducer,
+                                             StreamSource)
+        blk = sig.samples_per_code
+        fifo = native.RingFifo(depth=256, block_bytes=blk * 8)
+        FileStreamProducer(
+            args.file, fifo, blk, fmt=args.format,
+            realtime_fs=(sig.fs if args.stream == "realtime" else 0.0),
+            skip_samples=args.skip_samples).start()
+        src = StreamSource(fifo, blk)
+    else:
+        src = _file_source(args)
     sink = open(args.log, "w") if args.log else sys.stdout
     bus = None
     if args.commands:
@@ -249,6 +264,10 @@ def main(argv=None) -> int:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "fused", "gather", "table"],
                    help="tracking engine (auto = fused Pallas on TPU)")
+    p.add_argument("--stream", nargs="?", const="fast", default=None,
+                   choices=["fast", "realtime"],
+                   help="feed via producer thread + native ring FIFO "
+                        "(realtime = throttle to fs)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
     p.add_argument("--commands", default=None,

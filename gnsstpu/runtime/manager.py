@@ -130,6 +130,11 @@ class ChannelManager:
             aid_div=cfg.track.aid_div)
         cb, ia = tscan.channel_consts(self.sig, cfg.track, [1] * C)
         self._carr_base, self._inv_aid = cb, ia      # host copies [C]
+        # Device-resident copies of the slot code tables + consts; slot
+        # swaps invalidate them. Re-uploading the fused phase-row table
+        # (MBs) every epoch would dominate epoch wall time.
+        self._codes_dev = None
+        self._consts_dev = None
         self._abs_pos = np.zeros(C, np.float64)    # per-slot next sample
         self._cursor = 0                           # epoch base sample
         self._next_reacq_ms = 0
@@ -153,6 +158,8 @@ class ChannelManager:
         self._codes[slot_idx] = (self._fused_tab[prn - 1]
                                  if self.engine == "fused"
                                  else self._padded[prn - 1])
+        self._codes_dev = None
+        self._consts_dev = None
         # FDMA: this slot's carrier base and aid divisor follow the PRN's
         # frequency channel (reference GLONASS/L1/initSettings.sci
         # L1_IF_step).
@@ -272,15 +279,23 @@ class ChannelManager:
             self._state = self._state._replace(
                 corr=self._state.corr._replace(
                     sample_pos=jnp.asarray(rel, jnp.int32)))
-            consts = (jnp.asarray(self._carr_base),
-                      jnp.asarray(self._inv_aid))
+            if self._codes_dev is None:
+                self._codes_dev = jnp.asarray(self._codes)
+                self._consts_dev = (jnp.asarray(self._carr_base),
+                                    jnp.asarray(self._inv_aid))
             # Per-stage timers (Threaded_Object exec-tic counters ->
             # TASK_HEALTH telemetry, objects/threaded_object.h +
             # messages.h:40): track = device scan, readback = host sync.
+            # Integer-dtype sources (int8/int16 front ends — the norm:
+            # GN3S is 2-bit, the custom FE 4-bit) upload raw and cast to
+            # f32 on device: 4-8x less host->device traffic per epoch.
+            chunk_dev = jnp.asarray(chunk)
+            if chunk_dev.dtype != jnp.float32:
+                chunk_dev = chunk_dev.astype(jnp.float32)
             t0 = time.perf_counter()
             self._state, out = self._tracker(
-                jnp.asarray(chunk), jnp.asarray(self._codes),
-                consts, self._state)
+                chunk_dev, self._codes_dev,
+                self._consts_dev, self._state)
             t1 = time.perf_counter()
             out = jax.tree.map(np.asarray, out)
             t2 = time.perf_counter()
@@ -288,6 +303,11 @@ class ChannelManager:
                                  engine=self.engine,
                                  n_active=len(active))
             self.tlm.task_health(epoch_ms, "readback", t2 - t1)
+            if hasattr(self.source, "stats"):
+                # FIFO depth/overrun counters from a streaming source
+                # (reference FIFO display, doxygen.h:113).
+                self.tlm.task_health(epoch_ms, "source", 0.0,
+                                     **self.source.stats())
             blk = out.blksize.astype(np.float64)          # [E, C]
             ends = base + rel[None, :] + np.cumsum(blk, axis=0)
             self._abs_pos = ends[-1]

@@ -147,3 +147,132 @@ class SimSource:
 
     def __len__(self) -> int:
         return self.n_ms * self.block
+
+
+class StreamSource:
+    """Live streaming source: a producer thread feeds the native ring
+    FIFO; reads are served from a rolling history window.
+
+    This is the framework's FIFO/GPS_Source fabric (reference
+    objects/fifo.cpp:53-187 4000-deep ms_packet ring between the radio
+    thread and the correlator; objects/gps_source.cpp:135 Read): the
+    producer (USB radio, socket, growing file) pushes decoded 1 ms f32
+    blocks; the consumer (ChannelManager / tracking driver) keeps its
+    random-access read(start, count) protocol against a bounded history,
+    BLOCKING until the stream has produced up to start+count.
+
+    Semantics:
+      * reads past the producer's current position block (up to
+        timeout_s, then TimeoutError — the Patience-watchdog stall
+        signal, objects/patience.cpp:80-104);
+      * reads older than the history window return zeros (data fell off
+        the ring — the real-time receiver's equivalent of an overrun);
+      * producer end-of-stream (FIFO closed and drained) zero-fills, so
+        epoch loops terminate via their end-of-data checks.
+
+    stats() surfaces FIFO depth/overrun counters for telemetry
+    (doxygen.h:113 "FIFO: 999 9801..." display).
+    """
+
+    def __init__(self, fifo, block_samples: int, history_blocks: int = 512,
+                 timeout_s: float = 10.0):
+        self.fifo = fifo
+        self.block = int(block_samples)
+        self.hist_blocks = int(history_blocks)
+        self.timeout_s = timeout_s
+        self._hist = np.zeros((self.hist_blocks * self.block, 2),
+                              np.float32)
+        self._end = 0            # absolute samples consumed from the FIFO
+        self._eos = False
+
+    def _pump_until(self, need_end: int) -> None:
+        import time as _time
+
+        deadline = _time.monotonic() + self.timeout_s
+        H = len(self._hist)
+        while self._end < need_end and not self._eos:
+            r, buf = self.fifo.pop(timeout_ms=200)
+            if r == 1:
+                blk = buf.view(np.float32).reshape(self.block, 2)
+                pos = self._end % H
+                n1 = min(self.block, H - pos)
+                self._hist[pos: pos + n1] = blk[:n1]
+                if n1 < self.block:
+                    self._hist[: self.block - n1] = blk[n1:]
+                self._end += self.block
+            elif r == -1:
+                self._eos = True
+            elif _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"stream stalled: no samples for {self.timeout_s}s "
+                    f"(at {self._end}, need {need_end})")
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        self._pump_until(start + count)
+        out = np.zeros((count, 2), np.float32)
+        H = len(self._hist)
+        lo = max(start, self._end - H, 0)
+        hi = min(start + count, self._end)
+        if hi > lo:
+            idx = (np.arange(lo, hi) % H)
+            out[lo - start: hi - start] = self._hist[idx]
+        return out
+
+    def stats(self) -> dict:
+        s = dict(self.fifo.stats())
+        s["consumed_samples"] = self._end
+        return s
+
+    def __len__(self) -> int:
+        return 1 << 62
+
+
+class FileStreamProducer:
+    """Producer thread: file/pipe reader + sample-format decode feeding a
+    RingFifo with 1 ms f32 blocks (the GPS_Source read thread,
+    objects/gps_source.cpp:135; decode via the native codec library).
+
+    realtime_fs throttles production to the given sample rate (a live
+    radio's pace) — 0 streams as fast as the file reads.
+    """
+
+    def __init__(self, path: str, fifo, block_samples: int,
+                 fmt: str = "i8_iq", realtime_fs: float = 0.0,
+                 skip_samples: int = 0):
+        import threading
+
+        self.src = FileSource(path, fmt=fmt, skip_samples=skip_samples)
+        self.fifo = fifo
+        self.block = int(block_samples)
+        self.realtime_fs = realtime_fs
+        self._stop = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "FileStreamProducer":
+        self.thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop = True
+
+    def _run(self) -> None:
+        import time as _time
+
+        pos = 0
+        n = len(self.src)
+        t0 = _time.monotonic()
+        while not self._stop and pos < n:
+            blk = self.src.read(pos, self.block)
+            # Blocking push: a full ring waits for the consumer (the
+            # offline-file mode); a live radio would use the
+            # non-blocking push and count overruns instead.
+            if self.fifo.push(blk.astype(np.float32).view(np.uint8)
+                              .reshape(-1), timeout_ms=5000) != 1:
+                break
+            pos += self.block
+            if self.realtime_fs > 0:
+                target = t0 + pos / self.realtime_fs
+                dt = target - _time.monotonic()
+                if dt > 0:
+                    _time.sleep(dt)
+        self.fifo.close()

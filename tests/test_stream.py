@@ -1,0 +1,107 @@
+"""Streaming ingestion: producer thread -> native ring FIFO -> manager.
+
+The reference's FIFO/GPS_Source fabric (objects/fifo.cpp:53-187 ring of
+1 ms packets between the radio thread and the correlator;
+objects/gps_source.cpp:135) realized as FileStreamProducer + RingFifo +
+StreamSource, driven end-to-end by the ChannelManager.
+"""
+
+import io
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from gnsstpu import native
+from gnsstpu.config import (AcqConfig, ReceiverConfig, SignalConfig,
+                            TrackConfig)
+from gnsstpu.runtime.manager import ChannelManager
+from gnsstpu.runtime.sources import (FileStreamProducer, StreamSource)
+from gnsstpu.runtime.telemetry import Telemetry
+from gnsstpu.sim import IFSimulator, SatParams
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+SIG = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+
+
+def test_stream_source_serves_window_and_blocks_for_producer():
+    blk = 64
+    fifo = native.RingFifo(depth=8, block_bytes=blk * 8)
+    src = StreamSource(fifo, blk, history_blocks=4, timeout_s=5.0)
+
+    def produce():
+        for i in range(16):
+            b = np.full((blk, 2), float(i), np.float32)
+            fifo.push(b.view(np.uint8).reshape(-1), timeout_ms=2000)
+        fifo.close()
+
+    t = threading.Thread(target=produce)
+    t.start()
+    # Read blocks 5..6: must block until produced, then match.
+    out = src.read(5 * blk, 2 * blk)
+    assert np.all(out[:blk] == 5.0) and np.all(out[blk:] == 6.0)
+    # Old data beyond the history ring is zero-filled (overrun).
+    src.read(14 * blk, blk)
+    old = src.read(0, blk)
+    assert np.all(old == 0.0)
+    # End of stream: zero-fill, no exception.
+    tail = src.read(16 * blk, blk)
+    assert np.all(tail == 0.0)
+    t.join()
+    assert src.stats()["pushed"] == 16
+
+
+def test_stream_source_stall_raises_timeout():
+    """Patience-watchdog signal (objects/patience.cpp:80-104): a stalled
+    producer turns into a TimeoutError instead of a silent hang."""
+    blk = 32
+    fifo = native.RingFifo(depth=4, block_bytes=blk * 8)
+    src = StreamSource(fifo, blk, timeout_s=0.3)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        src.read(0, blk)
+    assert time.monotonic() - t0 < 5.0
+    fifo.close()
+
+
+def test_manager_runs_off_live_stream(tmp_path):
+    """End-to-end: simulated IF file -> producer thread decode ->
+    RingFifo -> StreamSource -> ChannelManager acquires and tracks; FIFO
+    counters surface in task_health telemetry."""
+    sats = [SatParams(prn=9, doppler_hz=-800.0, code_phase_chips=300.5,
+                      cn0_dbhz=47.0)]
+    n_ms = 500
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=6)
+    buf = np.asarray(sim.generate(n_ms + 50))
+    path = tmp_path / "if.i8"
+    np.clip(buf * 24.0, -127, 127).astype(np.int8).tofile(path)
+
+    blk = SIG.samples_per_code
+    fifo = native.RingFifo(depth=128, block_bytes=blk * 8)
+    prod = FileStreamProducer(str(path), fifo, blk, fmt="i8_iq").start()
+    src = StreamSource(fifo, blk, history_blocks=700, timeout_s=10.0)
+
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=3e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(9,), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=2)
+    sink = io.StringIO()
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=100, reacq_period_ms=10 ** 9)
+    recs = mgr.run(n_ms)
+    prod.stop()
+
+    last = recs[-1]
+    assert 9 in {int(p) for p in last.prn if p}
+    i9 = list(last.prn).index(9)
+    assert abs(last.doppler_hz[i9] - (-800.0)) < 3.0
+    src_msgs = [json.loads(l) for l in sink.getvalue().splitlines()
+                if '"stage": "source"' in l]
+    assert src_msgs and src_msgs[-1]["pushed"] >= n_ms
+    assert src_msgs[-1]["overruns"] == 0

@@ -215,9 +215,14 @@ def cmd_monitor(args) -> int:
     from gnsstpu.runtime.console import StatusBoard
 
     board = StatusBoard()
+
+    def show():
+        return (board.render_all() if args.page == "all"
+                else board.render(args.page))
+
     if not args.follow:
         board.feed_jsonl(args.log)
-        print(board.render())
+        print(show())
         return 0
     pos = 0
     try:
@@ -228,10 +233,24 @@ def cmd_monitor(args) -> int:
                     if line.strip():
                         board.update(json.loads(line))
                 pos = f.tell()
-            print("\033[2J\033[H" + board.render(), flush=True)
+            print("\033[2J\033[H" + show(), flush=True)
             _time.sleep(args.interval)
     except KeyboardInterrupt:
         return 0
+
+
+def cmd_analyze(args) -> int:
+    """Render the offline analysis panel set from a telemetry log (the
+    reference's matlab/*.m log-analysis scripts)."""
+    import os
+
+    from gnsstpu import viz
+
+    os.makedirs(args.out, exist_ok=True)
+    health_png = os.path.join(args.out, "health.png")
+    viz.plot_health(args.log, health_png)
+    print(f"wrote {health_png}")
+    return 0
 
 
 def cmd_bench(args) -> int:
@@ -297,7 +316,16 @@ def main(argv=None) -> int:
     p.add_argument("log")
     p.add_argument("--follow", action="store_true")
     p.add_argument("--interval", type=float, default=1.0)
+    p.add_argument("--page", default="channels",
+                   choices=["channels", "pvt", "health", "events", "all"],
+                   help="console page (gse notebook tab equivalent)")
     p.set_defaults(fn=cmd_monitor)
+
+    p = sub.add_parser("analyze",
+                       help="render analysis panels from a telemetry log")
+    p.add_argument("log")
+    p.add_argument("--out", default="analysis")
+    p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("bench", help="run the repo benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -76,10 +76,15 @@ class StatusBoard:
     or a whole JSONL file, then render().
     """
 
+    PAGES = ("channels", "pvt", "health", "events")
+
     def __init__(self, n_events: int = 6):
         self.channels: Dict[int, dict] = {}
         self.pvt: Optional[dict] = None
+        self.pvt_history: List[dict] = []
         self.events: List[dict] = []
+        self.stages: Dict[str, dict] = {}     # stage -> {last, max, n, sum}
+        self.source: Optional[dict] = None    # stream FIFO counters
         self.n_events = n_events
         self.epoch_ms = 0
 
@@ -90,6 +95,20 @@ class StatusBoard:
             self.channels[rec["chan"]] = rec
         elif t == "pvt":
             self.pvt = rec
+            self.pvt_history.append(rec)
+            del self.pvt_history[:-64]
+        elif t == "task_health":
+            if rec.get("stage") == "source":
+                self.source = rec
+            else:
+                s = self.stages.setdefault(
+                    rec["stage"], {"last": 0.0, "max": 0.0, "n": 0,
+                                   "sum": 0.0})
+                w = rec["wall_s"]
+                s["last"] = w
+                s["max"] = max(s["max"], w)
+                s["n"] += 1
+                s["sum"] += w
         elif t == "event":
             self.events.append(rec)
             if rec.get("what") == "channel_drop":
@@ -99,11 +118,20 @@ class StatusBoard:
                     ch["state"] = "idle"
                     ch["prn"] = 0
                     self.channels[rec["chan"]] = ch
-            del self.events[: -self.n_events]
+            del self.events[:-64]
 
-    def render(self) -> str:
-        lines = [f"== gnsstpu status @ {self.epoch_ms} ms ==",
-                 " ch  prn  state      C/N0   doppler    PLL"]
+    def render(self, page: str = "channels") -> str:
+        """Render one console page. Pages mirror the gse notebook tabs
+        (gui_channel / gui_pvt+gui_speedo / gui_health / gui_messages)
+        and the osgnss paged display (display.c)."""
+        hdr = f"== gnsstpu {page} @ {self.epoch_ms} ms =="
+        if page == "pvt":
+            return "\n".join([hdr] + self._render_pvt())
+        if page == "health":
+            return "\n".join([hdr] + self._render_health())
+        if page == "events":
+            return "\n".join([hdr] + self._render_events(24))
+        lines = [hdr, " ch  prn  state      C/N0   doppler    PLL"]
         for chan in sorted(self.channels):
             c = self.channels[chan]
             if c.get("prn"):
@@ -118,12 +146,50 @@ class StatusBoard:
             lines.append(f" pvt: lat {p['lat_deg']:.6f}  lon "
                          f"{p['lon_deg']:.6f}  h {p['h_m']:.1f} m  "
                          f"({p['n_sv']} SV)")
-        for ev in self.events:
+        lines += self._render_events(self.n_events)
+        return "\n".join(lines)
+
+    def render_all(self) -> str:
+        return "\n\n".join(self.render(p) for p in self.PAGES)
+
+    def _render_pvt(self) -> List[str]:
+        if not self.pvt_history:
+            return [" (no solutions yet)"]
+        lines = ["  epoch_ms        lat          lon        h [m]   nSV"]
+        for p in self.pvt_history[-12:]:
+            lines.append(f"  {p.get('epoch_ms', 0):8d}  {p['lat_deg']:11.6f}"
+                         f"  {p['lon_deg']:11.6f}  {p['h_m']:8.1f}"
+                         f"   {p['n_sv']:3d}")
+        p = self.pvt
+        for k in ("speed_ms", "hdop", "gdop"):
+            if k in p:
+                lines.append(f"  {k}: {p[k]}")
+        return lines
+
+    def _render_health(self) -> List[str]:
+        lines = [" stage       last[ms]   mean[ms]    max[ms]      n"]
+        for name in sorted(self.stages):
+            s = self.stages[name]
+            lines.append(
+                f" {name:<10s} {s['last'] * 1e3:9.2f}"
+                f"  {s['sum'] / max(s['n'], 1) * 1e3:9.2f}"
+                f"  {s['max'] * 1e3:9.2f}  {s['n']:5d}")
+        if self.source is not None:
+            f = self.source
+            lines.append(
+                f" fifo: depth {f.get('count', 0)}  pushed "
+                f"{f.get('pushed', 0)}  popped {f.get('popped', 0)}  "
+                f"overruns {f.get('overruns', 0)}")
+        return lines
+
+    def _render_events(self, n: int) -> List[str]:
+        lines = []
+        for ev in self.events[-n:]:
             kv = {k: v for k, v in ev.items()
                   if k not in ("t", "seq", "type", "what", "epoch_ms")}
             lines.append(f" [{ev.get('epoch_ms', '?')} ms] "
                          f"{ev.get('what')} {kv if kv else ''}".rstrip())
-        return "\n".join(lines)
+        return lines
 
     def feed_jsonl(self, path: str) -> None:
         with open(path) as f:

@@ -120,3 +120,118 @@ def plot_navigation(nav, out_png: str) -> None:
     fig.tight_layout()
     fig.savefig(out_png, dpi=110)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# Analysis panel set — the reference's MATLAB log-analysis scripts
+# (REALTIME .../matlab/*.m: get_/plot_/analyze_ pseudo, pvt, ekf, pps)
+# rebuilt over framework result objects and the JSONL telemetry stream.
+# ---------------------------------------------------------------------------
+
+
+def plot_pseudoranges(nav, out_png: str) -> None:
+    """Pseudorange/clock analysis (matlab plot_pseudo.m / analyze_pseudo.m
+    analogue): receiver clock bias and drift series, ECEF position
+    stability, velocity magnitude."""
+    v = nav.valid
+    t = nav.t_ms / 1e3
+    fig, axs = plt.subplots(2, 2, figsize=(11, 8))
+    axs[0, 0].plot(t[v], nav.dt[v], ".-")
+    axs[0, 0].set(title="receiver clock bias [m]", xlabel="s")
+    if len(nav.ddt) and np.any(getattr(nav, "vel_valid", [])):
+        w = nav.vel_valid
+        axs[0, 1].plot(nav.t_ms[w] / 1e3, nav.ddt[w], ".-")
+        axs[0, 1].set(title="clock drift [m/s]", xlabel="s")
+        speed = np.sqrt(nav.vx[w] ** 2 + nav.vy[w] ** 2 + nav.vz[w] ** 2)
+        axs[1, 1].plot(nav.t_ms[w] / 1e3, speed, ".-")
+        axs[1, 1].set(title="speed [m/s] (gse speedo)", xlabel="s")
+    for arr, lbl in ((nav.x, "x"), (nav.y, "y"), (nav.z, "z")):
+        if np.any(v):
+            axs[1, 0].plot(t[v], arr[v] - np.mean(arr[v]), ".-", label=lbl)
+    axs[1, 0].legend()
+    axs[1, 0].set(title="ECEF vs mean [m]", xlabel="s")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+
+
+def plot_ekf(steps, out_png: str) -> None:
+    """EKF analysis (matlab plot_ekf.m / gse gui_ekf analogue): position/
+    velocity/clock state history + innovation/acceptance statistics from
+    a list of nav.ekf.EkfStep records."""
+    t = np.arange(len(steps))
+    pos = np.stack([s.pos for s in steps])
+    vel = np.stack([s.vel for s in steps])
+    bias = np.array([s.clock_bias_m for s in steps])
+    drift = np.array([s.clock_drift_ms for s in steps])
+    rms = np.array([float(np.sqrt(np.mean(np.square(s.innovations))))
+                    if len(np.atleast_1d(s.innovations)) else 0.0
+                    for s in steps])
+    acc = np.array([float(np.mean(s.accepted))
+                    if len(np.atleast_1d(s.accepted)) else 1.0
+                    for s in steps])
+    fig, axs = plt.subplots(2, 2, figsize=(11, 8))
+    for i, lbl in enumerate("xyz"):
+        axs[0, 0].plot(t, pos[:, i] - pos[0, i], label=lbl)
+        axs[0, 1].plot(t, vel[:, i], label="v" + lbl)
+    axs[0, 0].legend(), axs[0, 0].set(title="EKF position vs start [m]")
+    axs[0, 1].legend(), axs[0, 1].set(title="EKF velocity [m/s]")
+    axs[1, 0].plot(t, bias, label="bias [m]")
+    axs[1, 0].plot(t, drift, label="drift [m/s]")
+    axs[1, 0].legend(), axs[1, 0].set(title="EKF clock states")
+    axs[1, 1].plot(t, rms, ".-", label="innovation RMS [m]")
+    axs[1, 1].plot(t, acc, ".-", label="accept frac")
+    axs[1, 1].legend()
+    axs[1, 1].set(title="innovations / measurement screening",
+                  xlabel="step")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+
+
+def plot_health(jsonl_path: str, out_png: str) -> None:
+    """Run-health analysis from the telemetry stream (matlab
+    analyze_pvt.m + gse gui_health analogue): per-stage wall times,
+    per-PRN C/N0 and Doppler timelines, FIFO depth."""
+    import collections
+    import json as _json
+
+    stages = collections.defaultdict(lambda: ([], []))
+    chans = collections.defaultdict(lambda: ([], [], []))
+    fifo_t, fifo_n = [], []
+    with open(jsonl_path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            r = _json.loads(line)
+            if r["type"] == "task_health":
+                if r.get("stage") == "source":
+                    fifo_t.append(r.get("epoch_ms", 0) / 1e3)
+                    fifo_n.append(r.get("count", 0))
+                else:
+                    s = stages[r["stage"]]
+                    s[0].append(r.get("epoch_ms", 0) / 1e3)
+                    s[1].append(r["wall_s"] * 1e3)
+            elif r["type"] == "channel_health" and r.get("prn"):
+                c = chans[r["prn"]]
+                c[0].append(r["epoch_ms"] / 1e3)
+                c[1].append(r["cn0_dbhz"])
+                c[2].append(r["doppler_hz"])
+    fig, axs = plt.subplots(2, 2, figsize=(11, 8))
+    for name, (t, w) in sorted(stages.items()):
+        axs[0, 0].plot(t, w, ".-", label=name)
+    axs[0, 0].legend(), axs[0, 0].set(
+        title="stage wall time [ms] (TASK_HEALTH)", xlabel="s")
+    for prn, (t, cn0, dop) in sorted(chans.items()):
+        axs[0, 1].plot(t, cn0, ".-", label=f"PRN {prn}")
+        axs[1, 0].plot(t, dop, ".-", label=f"PRN {prn}")
+    axs[0, 1].legend(fontsize=7), axs[0, 1].set(title="C/N0 [dB-Hz]",
+                                                xlabel="s")
+    axs[1, 0].legend(fontsize=7), axs[1, 0].set(title="Doppler [Hz]",
+                                                xlabel="s")
+    if fifo_t:
+        axs[1, 1].plot(fifo_t, fifo_n, ".-")
+    axs[1, 1].set(title="stream FIFO depth", xlabel="s")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)

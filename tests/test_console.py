@@ -101,10 +101,41 @@ def test_status_board_renders_channels_and_events():
     for line in feed.getvalue().splitlines():
         board.update(json.loads(line))
     page = board.render()
-    assert "gnsstpu status" in page
+    assert "gnsstpu channels" in page
     assert "  5  tracking" in page.replace("   ", "  ") or "5" in page
     # at least one live PRN renders with plausible C/N0
     live = [rec for rec in board.channels.values() if rec.get("prn")]
     assert any(35.0 < rec["cn0_dbhz"] < 60.0 for rec in live)
     assert any("channel_start" in (e.get("what") or "")
                for e in board.events) or board.channels
+
+
+def test_status_board_pages():
+    """gse-notebook-style pages: channels, pvt (history), health (stage
+    timers + FIFO counters), events."""
+    from gnsstpu.runtime.console import StatusBoard
+
+    b = StatusBoard()
+    b.update({"type": "channel_health", "epoch_ms": 100, "chan": 0,
+              "prn": 7, "state": "tracking", "cn0_dbhz": 45.2,
+              "doppler_hz": 1234.5, "pll_lock": 0.91})
+    for e in range(3):
+        b.update({"type": "task_health", "epoch_ms": 100 * e,
+                  "stage": "track", "wall_s": 0.002 * (e + 1)})
+    b.update({"type": "task_health", "epoch_ms": 200, "stage": "source",
+              "wall_s": 0.0, "count": 3, "pushed": 200, "popped": 197,
+              "overruns": 1})
+    b.update({"type": "pvt", "epoch_ms": 300, "lat_deg": 57.1,
+              "lon_deg": 9.9, "h_m": 48.2, "n_sv": 6})
+    b.update({"type": "event", "epoch_ms": 300, "what": "channel_start",
+              "chan": 1, "prn": 12})
+
+    ch = b.render("channels")
+    assert "PRN" not in ch and " 7" in ch and "45.2" in ch
+    pv = b.render("pvt")
+    assert "57.1" in pv and "6" in pv
+    he = b.render("health")
+    assert "track" in he and "overruns 1" in he and "mean" in he
+    ev = b.render("events")
+    assert "channel_start" in ev
+    assert all(p in b.render_all() for p in ("channels", "health"))

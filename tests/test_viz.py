@@ -59,3 +59,54 @@ def test_all_plots_render(tmp_path):
 
     for p in (p1, p2, p3, p4):
         assert os.path.getsize(p) > 10000
+
+
+def test_analysis_panels_render(tmp_path):
+    """The matlab-analysis-set equivalents (pseudo/clock, EKF, run
+    health) must render from framework objects and a telemetry log."""
+    import json
+
+    rng = np.random.default_rng(1)
+    E = 20
+    nav = NavSolutions(
+        t_ms=np.arange(E) * 500.0, x=rng.normal(0, 1, E),
+        y=rng.normal(0, 1, E), z=rng.normal(0, 1, E),
+        dt=rng.normal(0, 1, E), latitude=np.full(E, 57.0),
+        longitude=np.full(E, 10.0), height=50 + rng.normal(0, 2, E),
+        utm_e=rng.normal(0, 3, E), utm_n=rng.normal(0, 3, E),
+        utm_u=rng.normal(0, 3, E), dop=np.abs(rng.normal(2, 0.5, (E, 5))),
+        n_sats=np.full(E, 6), valid=np.ones(E, bool),
+        vx=rng.normal(0, 0.1, E), vy=rng.normal(0, 0.1, E),
+        vz=rng.normal(0, 0.1, E), ddt=rng.normal(0, 0.01, E),
+        vel_valid=np.ones(E, bool))
+    p1 = str(tmp_path / "pseudo.png")
+    viz.plot_pseudoranges(nav, p1)
+
+    from gnsstpu.nav.ekf import EkfStep
+    steps = [EkfStep(accepted=np.ones(6, bool),
+                     innovations=rng.normal(0, 3, 6),
+                     pos=np.array([1e6, 2e6, 3e6]) + i,
+                     vel=rng.normal(0, 1, 3),
+                     clock_bias_m=float(i), clock_drift_ms=0.1)
+             for i in range(15)]
+    p2 = str(tmp_path / "ekf.png")
+    viz.plot_ekf(steps, p2)
+
+    log = tmp_path / "tlm.jsonl"
+    recs = []
+    for e in range(5):
+        recs.append({"type": "task_health", "epoch_ms": e * 100,
+                     "stage": "track", "wall_s": 0.01})
+        recs.append({"type": "task_health", "epoch_ms": e * 100,
+                     "stage": "source", "wall_s": 0.0, "count": e,
+                     "pushed": 10 * e, "popped": 9 * e, "overruns": 0})
+        recs.append({"type": "channel_health", "epoch_ms": e * 100,
+                     "chan": 0, "prn": 7, "state": "tracking",
+                     "cn0_dbhz": 45.0 + e, "doppler_hz": 1200.0,
+                     "pll_lock": 0.9})
+    log.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    p3 = str(tmp_path / "health.png")
+    viz.plot_health(str(log), p3)
+
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 10_000

@@ -83,7 +83,7 @@ def acquire_cube(
     samples_per_code: int,
     *,
     combine: str = "max",
-    prn_chunk: int = 4,
+    prn_chunk: int = 8,
 ) -> jax.Array:
     """Correlation power cube over (PRN, Doppler, code phase).
 

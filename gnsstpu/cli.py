@@ -170,12 +170,30 @@ def cmd_solve(args) -> int:
     out = run_receiver(src, cfg, n_ms=args.ms)
     print(f"acquired: {out.acq.detected_prns()}")
     print(f"ephemerides decoded: {sorted(out.ephs)}")
-    if out.nav is not None and len(out.nav.lat_deg):
+    if args.log and out.nav is not None:
+        # Emit the solution stream as telemetry (SPS/PVT message family,
+        # reference messages.h) so `gnsstpu monitor --page pvt` and
+        # `gnsstpu analyze` work on offline solves too.
+        from gnsstpu.runtime.telemetry import Telemetry
+
+        with open(args.log, "w") as f:
+            tlm = Telemetry(sink=f)
+            n = out.nav
+            for k in range(len(n.t_ms)):
+                if not n.valid[k]:
+                    continue
+                tlm.pvt(int(n.t_ms[k]), float(n.latitude[k]),
+                        float(n.longitude[k]), float(n.height[k]),
+                        int(n.n_sats[k]),
+                        gdop=round(float(n.dop[k, 0]), 2),
+                        hdop=round(float(n.dop[k, 2]), 2))
+    if out.nav is not None and np.any(out.nav.valid):
+        v = out.nav.valid
         print(json.dumps({
-            "lat_deg": float(np.mean(out.nav.lat_deg)),
-            "lon_deg": float(np.mean(out.nav.lon_deg)),
-            "h_m": float(np.mean(out.nav.h_m)),
-            "epochs": int(len(out.nav.lat_deg))}))
+            "lat_deg": float(np.mean(out.nav.latitude[v])),
+            "lon_deg": float(np.mean(out.nav.longitude[v])),
+            "h_m": float(np.mean(out.nav.height[v])),
+            "epochs": int(np.sum(v))}))
         return 0
     print("no position fix")
     return 1
@@ -300,6 +318,8 @@ def main(argv=None) -> int:
     _acq_args(p)
     p.add_argument("--ms", type=int, default=40000)
     p.add_argument("--channels", type=int, default=8)
+    p.add_argument("--log", default=None,
+                   help="write PVT solutions as telemetry JSONL")
     p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser("simulate", help="write a synthetic IF file")

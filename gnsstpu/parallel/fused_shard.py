@@ -18,7 +18,6 @@ import functools
 
 import jax
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gnsstpu.config import SignalConfig, TrackConfig
@@ -66,11 +65,11 @@ def make_sharded_fused_tracker(sig: SignalConfig, trk: TrackConfig, *,
         *([0] * len(TrackOut._fields))))
 
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(axis, None, None), (P(axis), P(axis)), state_spec),
         out_specs=(state_spec, out_spec),
-        check_rep=False,
+        check_vma=False,
     )
     def _sharded(chunk, tab, consts, state):
         return inner(chunk, tab, consts, state)

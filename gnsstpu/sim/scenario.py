@@ -282,3 +282,53 @@ def build_scenario_galileo(sig: SignalConfig, ephs: Dict[int, "object"],
             nav_bits=sym,
         ))
     return sats, qephs
+
+
+def make_glonass_constellation(recv_ecef: np.ndarray, tb: int, n: int = 5,
+                               seed: int = 3) -> Dict[int, "object"]:
+    """Synthetic GLONASS constellation with healthy geometry.
+
+    State-vector ephemerides for n visible SVs on distinct frequency
+    channels: satellites at GLONASS orbit radius along a chosen az/el
+    spread (one near-zenith + a low-elevation ring, GDOP ~ 3-4 at n=6),
+    near-circular ECEF velocity (Earth-rotation corrected). tb is the
+    ephemeris reference time in minutes of the Moscow day
+    (GLONASS ICD string 1; reference GLONASS/L1/include/ephemeris.sci).
+    """
+    from gnsstpu.nav import geodesy
+    from gnsstpu.nav.glonass import GlonassEphemeris
+
+    mu = 398600.44e9
+    we = 0.7292115e-4
+    r_orb = 25500e3
+    recv_ecef = np.asarray(recv_ecef, np.float64)
+    lat, lon, _ = geodesy.cart2geo(*recv_ecef, 5)
+    phi, lam = np.radians(lat), np.radians(lon)
+    e_hat = np.array([-np.sin(lam), np.cos(lam), 0.0])
+    n_hat = np.array([-np.sin(phi) * np.cos(lam),
+                      -np.sin(phi) * np.sin(lam), np.cos(phi)])
+    u_hat = np.array([np.cos(phi) * np.cos(lam),
+                      np.cos(phi) * np.sin(lam), np.sin(phi)])
+    rays = [(0.0, 80.0), (60.0, 20.0), (130.0, 25.0), (190.0, 18.0),
+            (250.0, 30.0), (315.0, 22.0), (100.0, 55.0)][:n]
+    rng = np.random.default_rng(seed)
+    gephs = {}
+    for k, (az_d, el_d) in enumerate(rays):
+        az, el = np.radians(az_d), np.radians(el_d)
+        u = (np.cos(el) * (np.sin(az) * e_hat + np.cos(az) * n_hat)
+             + np.sin(el) * u_hat)
+        d = recv_ecef @ u
+        s = -d + np.sqrt(d * d + r_orb ** 2 - recv_ecef @ recv_ecef)
+        p = recv_ecef + s * u
+        h = np.cross(p, rng.normal(size=3))
+        h /= np.linalg.norm(h)
+        v_i = np.sqrt(mu / r_orb) * h
+        v = v_i - np.cross(np.array([0.0, 0.0, we]), p)
+        prn = 5 + k                       # freq channels -2..+4 around 0
+        gephs[prn] = GlonassEphemeris(
+            tb=tb, x=p[0] / 1e3, y=p[1] / 1e3, z=p[2] / 1e3,
+            xdot=v[0] / 1e3, ydot=v[1] / 1e3, zdot=v[2] / 1e3,
+            taun=float(rng.uniform(-1e-4, 1e-4)),
+            gamman=float(rng.uniform(-2e-12, 2e-12)),
+            n=prn, valid=True)
+    return gephs

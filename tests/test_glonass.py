@@ -242,46 +242,8 @@ GFIX_NMS = 10000
 
 
 def make_glonass_constellation(recv_ecef, n=5, seed=3):
-    """State-vector ephemerides for n visible GLONASS SVs on distinct
-    frequency channels: satellites placed at GLONASS orbit radius along
-    chosen az/el rays, near-circular ECEF velocity."""
-    from gnsstpu.nav import geodesy
-
-    mu = 398600.44e9
-    we = 0.7292115e-4
-    r_orb = 25500e3
-    lat, lon, _ = geodesy.cart2geo(*recv_ecef, 5)
-    phi, lam = np.radians(lat), np.radians(lon)
-    e_hat = np.array([-np.sin(lam), np.cos(lam), 0.0])
-    n_hat = np.array([-np.sin(phi) * np.cos(lam),
-                      -np.sin(phi) * np.sin(lam), np.cos(phi)])
-    u_hat = np.array([np.cos(phi) * np.cos(lam),
-                      np.cos(phi) * np.sin(lam), np.sin(phi)])
-    # Az/el spread chosen for healthy geometry (one near-zenith + a low-
-    # elevation ring): GDOP ~ 3-4 with 6 SVs.
-    rays = [(0.0, 80.0), (60.0, 20.0), (130.0, 25.0), (190.0, 18.0),
-            (250.0, 30.0), (315.0, 22.0), (100.0, 55.0)][:n]
-    rng = np.random.default_rng(seed)
-    gephs = {}
-    for k, (az_d, el_d) in enumerate(rays):
-        az, el = np.radians(az_d), np.radians(el_d)
-        u = (np.cos(el) * (np.sin(az) * e_hat + np.cos(az) * n_hat)
-             + np.sin(el) * u_hat)
-        d = recv_ecef @ u
-        s = -d + np.sqrt(d * d + r_orb ** 2 - recv_ecef @ recv_ecef)
-        p = recv_ecef + s * u
-        h = np.cross(p, rng.normal(size=3))
-        h /= np.linalg.norm(h)
-        v_i = np.sqrt(mu / r_orb) * h
-        v = v_i - np.cross(np.array([0.0, 0.0, we]), p)
-        prn = 5 + k                       # freq channels -3..+3 around 0
-        gephs[prn] = gl.GlonassEphemeris(
-            tb=GFIX_TB, x=p[0] / 1e3, y=p[1] / 1e3, z=p[2] / 1e3,
-            xdot=v[0] / 1e3, ydot=v[1] / 1e3, zdot=v[2] / 1e3,
-            taun=float(rng.uniform(-1e-4, 1e-4)),
-            gamman=float(rng.uniform(-2e-12, 2e-12)),
-            n=prn, valid=True)
-    return gephs
+    from gnsstpu.sim.scenario import make_glonass_constellation as mk
+    return mk(recv_ecef, GFIX_TB, n=n, seed=seed)
 
 
 @pytest.fixture(scope="module")

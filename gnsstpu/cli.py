@@ -132,9 +132,14 @@ def cmd_track(args) -> int:
     if args.commands:
         from gnsstpu.runtime.console import CommandBus
         bus = CommandBus(args.commands)
+    navr = None
+    if args.navigate:
+        from gnsstpu.config import NavConfig
+        from gnsstpu.runtime.navigator import OnlineNavigator
+        navr = OnlineNavigator(sig, NavConfig())
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                          epoch_ms=args.epoch_ms, commands=bus,
-                         engine=args.engine)
+                         engine=args.engine, navigator=navr)
     if args.profile:
         # Opt-in JAX profiler trace (SURVEY §5 tracing: the reference's
         # Threaded_Object tic counters; here a real xplane trace).
@@ -305,6 +310,8 @@ def main(argv=None) -> int:
                    choices=["fast", "realtime"],
                    help="feed via producer thread + native ring FIFO "
                         "(realtime = throttle to fs)")
+    p.add_argument("--navigate", action="store_true",
+                   help="live ephemeris decode + PVT at epoch boundaries")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
     p.add_argument("--commands", default=None,

@@ -81,7 +81,7 @@ class ChannelManager:
                  prn_pool: Optional[List[int]] = None,
                  stall_timeout_s: float = 30.0,
                  confirm_epochs: int = 3, confirm_m: int = 2,
-                 commands=None, engine: str = "auto"):
+                 commands=None, engine: str = "auto", navigator=None):
         self.source = source
         self.cfg = cfg
         self.sig = cfg.signal
@@ -97,6 +97,9 @@ class ChannelManager:
         self.confirm_epochs = confirm_epochs
         self.confirm_m = confirm_m
         self.commands = commands   # CommandBus (runtime/console.py)
+        # OnlineNavigator (runtime/navigator.py): live ephemeris decode +
+        # PVT at epoch boundaries (the reference's Ephemeris+PVT threads).
+        self.navigator = navigator
         self._stop = False
 
         C = cfg.n_channels
@@ -361,6 +364,12 @@ class ChannelManager:
                         self._drop(i, epoch_ms, why="loss_of_lock")
                 else:
                     s.bad_epochs = 0
+
+            if self.navigator is not None:
+                t0 = time.perf_counter()
+                self.navigator.poll(self, epoch_ms)
+                self.tlm.task_health(epoch_ms, "pvt",
+                                     time.perf_counter() - t0)
         return self.records
 
     def _apply_commands(self, epoch_ms: int) -> None:

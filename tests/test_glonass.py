@@ -379,3 +379,64 @@ def test_l2_pcode_closed_loop():
     # DLL residual: rem tracks the true fractional phase drift; check the
     # code NCO pulled the E-L error to ~zero.
     assert np.abs(np.asarray(outs["code_err"])[-40:]).mean() < 0.04
+
+
+def test_manager_online_navigation_glonass():
+    """LIVE receiver parity with the reference's Ephemeris+PVT threads:
+    the ChannelManager + OnlineNavigator acquires the FDMA constellation,
+    decodes string ephemerides from the accumulating prompt history
+    mid-run, and streams LSQ position fixes as pvt telemetry — all
+    without the offline receiver pipeline."""
+    import io
+    import json as _json
+
+    from gnsstpu.config import (AcqConfig, NavConfig, ReceiverConfig,
+                                TrackConfig)
+    from gnsstpu.runtime.manager import ChannelManager
+    from gnsstpu.runtime.navigator import OnlineNavigator
+    from gnsstpu.runtime.sources import SimSource
+    from gnsstpu.runtime.telemetry import Telemetry
+    from gnsstpu.sim import IFSimulator
+    from gnsstpu.sim.scenario import build_scenario_glonass
+
+    sig = SignalConfig(signal="glonass_l1of", if_freq=0.0, fs=4.096e6,
+                       code_freq=0.511e6, code_length=511,
+                       fdma_step=562.5e3, complex_iq=True)
+    n_ms = GFIX_NMS + 2000
+    gephs = make_glonass_constellation(GFIX_RECV, n=6)
+    sats, qephs = build_scenario_glonass(
+        sig, gephs, GFIX_RECV, GFIX_T0, duration_s=n_ms / 1000.0,
+        cn0_dbhz=48.0, n_strings=6)
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=31)
+    src = SimSource(sim, n_ms + 60)
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=14e3, coherent_ms=2, threshold=2.5,
+                      prn_list=tuple(qephs), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0, pll_bw=25.0, fll_bw=250.0,
+                          aid_div=1602e6 / 0.511e6),
+        n_channels=6)
+    sink = io.StringIO()
+    navr = OnlineNavigator(sig, NavConfig(sol_period_ms=500,
+                                          elevation_mask_deg=10.0,
+                                          use_tropo=False),
+                           retry_ms=300)
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=100, reacq_period_ms=10 ** 9,
+                         confirm_epochs=6, navigator=navr)
+    mgr.run(n_ms)
+
+    assert sorted(navr.decoded) == sorted(qephs)
+    sols = navr.solutions
+    assert len(sols) >= 8, f"only {len(sols)} online fixes"
+    err = np.array([np.linalg.norm([s["x"] - GFIX_RECV[0],
+                                    s["y"] - GFIX_RECV[1],
+                                    s["z"] - GFIX_RECV[2]]) for s in sols])
+    assert np.mean(err) < 25.0, f"mean 3D error {np.mean(err):.1f} m"
+    # The solutions went out live over telemetry (pvt message family).
+    pvts = [_json.loads(l) for l in sink.getvalue().splitlines()
+            if '"type": "pvt"' in l]
+    assert len(pvts) == len(sols)
+    evs = [_json.loads(l) for l in sink.getvalue().splitlines()
+           if "ephemeris_decoded" in l]
+    assert {e["prn"] for e in evs} == set(qephs)

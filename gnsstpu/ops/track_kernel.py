@@ -372,3 +372,302 @@ def track_chunk_fused(chunk_t, tab, pos0, finit, cinit, carrbase,
     return (out[:, :C, :], ffin[:C], ifin[:C, I_POS],
             jax.lax.bitcast_convert_type(ifin[:C, I_CARR_PHASE],
                                          jnp.uint32))
+
+
+# ---------------------------------------------------------------------------
+# Dual-code (pilot + data) fused kernel — GLONASS L3OC production engine.
+#
+# Same architecture as the single-code kernel above with two differences
+# forced by the L3 signal's scale (10230 chips / ms at 24 Msps ->
+# blkp ~ 24002; a per-tile phase-row slab for TWO codes would be ~370 MB):
+#   * the code-row table lives in HBM (memory_space ANY) as
+#     [Cp, R, 8, blkp] with the six E/P/L x {pilot, data} tap waveforms
+#     (padded to the 8-sublane tile) interleaved per phase row, and each
+#     block DMAs ONE row per channel ([8, blkp], ~0.7 MB) into VMEM
+#     scratch — issued before the LO
+#     math so the copy hides behind compute;
+#   * twelve accumulators and the L3 loop wiring (pilot-prompt Costas
+#     PLL, flip-invariant 2-quadrant FLL, pilot-envelope DLL, /117.5
+#     aiding — tracking/dual.py semantics, reference
+#     GLONASS/L3/tracking.sci:312-396).
+# ---------------------------------------------------------------------------
+
+# Dual-kernel output lanes (acc order matches ops.dualcode.DualBlockOut).
+(OD_IE, OD_QE, OD_IP, OD_QP, OD_IL, OD_QL,
+ OD_IE2, OD_QE2, OD_IP2, OD_QP2, OD_IL2, OD_QL2,
+ OD_CARR_DOPPLER, OD_CODE_FREQ_DELTA, OD_REM, OD_BLKSIZE,
+ OD_DLL_DISC, OD_PLL_DISC) = range(18)
+NOUT_D = 24
+
+
+def _make_dual_kernel(*, n_blocks: int, ct: int, blkp: int,
+                      code_length: int, phases_per_chip: int,
+                      span_chips: float, base_code_step: float,
+                      inv_fs: float, fs: float, k1: float, k2: float,
+                      k3: float, c_dll_p: float, c_dll_i: float):
+    CT = ct
+    f32 = jnp.float32
+    rows_total = int(round(2 * span_chips * phases_per_chip))
+    ph_f = float(phases_per_chip)
+    nco_scale = float(4294967296.0 / fs)
+    wide = -(-(blkp + 128) // 128) * 128
+    W = -(-blkp // 128) * 128
+    A = W // 64
+    A_pad = -(-A // 8) * 8
+
+    BP = -(-blkp // 128) * 128          # DMA-tile-aligned row length
+
+    def kernel(pos0_sm, cinit_sm, chunk_ref, tab_ref, finit_ref,
+               carrbase_ref, expand_ref,
+               out_ref, ffin_ref, ifin_ref,
+               fstate, cphase_sm, pos_sm, blk_sm, cstep_sm, row_sm,
+               rows_scr, dma_sem):
+        ctile = pl.program_id(0)
+        b = pl.program_id(1)
+        c0 = ctile * CT
+
+        @pl.when(b == 0)
+        def _():
+            fstate[:, :] = finit_ref[:, :]
+            for c in range(CT):
+                pos_sm[c] = pos0_sm[c0 + c]
+                cphase_sm[c] = cinit_sm[c0 + c]
+
+        # ---- Phase 0: block geometry + tap-row selection [CT, 1] ----
+        rem = fstate[:, _F_REM:_F_REM + 1]
+        code_delta = fstate[:, _F_CODE_DELTA:_F_CODE_DELTA + 1]
+        carr_delta = fstate[:, _F_CARR_DELTA:_F_CARR_DELTA + 1]
+        step = f32(base_code_step) + code_delta * f32(inv_fs)
+        blkf = jnp.ceil((f32(code_length) - rem) / step)
+        blk = jnp.clip(blkf.astype(jnp.int32), 1, blkp)
+        cstep = (carrbase_ref[:, 0:1]
+                 + pltpu.bitcast(
+                     jnp.round(carr_delta * f32(nco_scale)
+                               ).astype(jnp.int32), jnp.uint32))
+        prow = jnp.round((rem + f32(span_chips)) * f32(ph_f))
+        prow = jnp.clip(prow.astype(jnp.int32), 0, rows_total - 1)
+        for c in range(CT):
+            row_sm[c] = prow[c, 0]
+            blk_sm[c] = blk[c, 0]
+            cstep_sm[c] = cstep[c, 0]
+
+        # ---- Phase A: start the HBM row DMAs FIRST, then compute the
+        # LO while they fly, then correlate. ----
+        copies = []
+        for c in range(CT):
+            cp = pltpu.make_async_copy(
+                tab_ref.at[c0 + c, row_sm[c]],      # [8, blkp] in HBM
+                rows_scr.at[c],                     # [8, blkp] in VMEM
+                dma_sem.at[c])
+            cp.start()
+            copies.append(cp)
+
+        wins = []
+        for c in range(CT):
+            pos = pos_sm[c]
+            al = pl.multiple_of((pos // 128) * 128, 128)
+            off = pos - al
+            wins.append(pltpu.roll(chunk_ref[0:2, pl.ds(al, wide)],
+                                   shift=wide - off, axis=1))
+            pos_sm[c] = pos + blk_sm[c]
+        xi = jnp.concatenate([w[0:1, :blkp] for w in wins], axis=0)
+        xq = jnp.concatenate([w[1:2, :blkp] for w in wins], axis=0)
+
+        ph_col = jnp.concatenate(
+            [cphase_sm[c].reshape(1, 1) for c in range(CT)], axis=0)
+        step_col = jnp.concatenate(
+            [cstep_sm[c].reshape(1, 1) for c in range(CT)], axis=0)
+        for c in range(CT):
+            cphase_sm[c] = (cphase_sm[c]
+                            + blk_sm[c].astype(jnp.uint32) * cstep_sm[c])
+
+        ang_scale = f32(2.0 * np.pi / 4294967296.0)
+        iota_a = jax.lax.broadcasted_iota(jnp.uint32, (CT, A_pad), 1)
+        ka = ph_col + iota_a * (step_col * jnp.uint32(64))
+        aa = pltpu.bitcast(ka, jnp.int32).astype(f32) * ang_scale
+        ca, sa = jnp.cos(aa), jnp.sin(aa)
+        iota_r = jax.lax.broadcasted_iota(jnp.uint32, (CT, 64), 1)
+        ar = (pltpu.bitcast(iota_r * step_col, jnp.int32).astype(f32)
+              * ang_scale)
+        cr, sr = jnp.cos(ar), jnp.sin(ar)
+        crt = pltpu.repeat(cr, A, axis=1)[:, :W]
+        srt = pltpu.repeat(sr, A, axis=1)[:, :W]
+        ex = expand_ref[:, :]
+        cA = jnp.dot(ca, ex, preferred_element_type=f32)
+        sA = jnp.dot(sa, ex, preferred_element_type=f32)
+        lo_c = (cA * crt - sA * srt)[:, :blkp]
+        lo_s = (sA * crt + cA * srt)[:, :blkp]
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (CT, blkp), 1)
+                < blk).astype(f32)
+        bb_i = (xi * lo_c + xq * lo_s) * mask
+        bb_q = (xq * lo_c - xi * lo_s) * mask
+
+        for cp in copies:
+            cp.wait()
+        accs = []
+        for j in range(6):
+            rows_j = jnp.concatenate(
+                [rows_scr[c, j:j + 1, :blkp] for c in range(CT)], axis=0)
+            accs.append(jnp.sum(rows_j * bb_i, axis=1, keepdims=True))
+            accs.append(jnp.sum(rows_j * bb_q, axis=1, keepdims=True))
+        (ie, qe, ip, qp, il, ql,
+         ie2, qe2, ip2, qp2, il2, ql2) = accs
+
+        # ---- Phase B: L3 dual loop wiring (tracking/dual.py) ----
+        ip_prev = fstate[:, _F_IP_PREV:_F_IP_PREV + 1]
+        qp_prev = fstate[:, _F_QP_PREV:_F_QP_PREV + 1]
+        cross = ip * qp_prev - ip_prev * qp
+        dot = ip * ip_prev + qp * qp_prev
+        # Flip-invariant 2-quadrant FLL: atan2(cross*sign(dot), |dot|)
+        # == atan(cross / dot) for dot of either sign.
+        safe = jnp.where(jnp.abs(dot) < f32(1e-30),
+                         jnp.where(dot < 0, f32(-1e-30), f32(1e-30)), dot)
+        freq_err = _atan(cross / safe) * f32(1.0 / np.pi)
+        denom = jnp.where(jnp.abs(ip) < 1e-10, f32(1e-10), ip)
+        carr_err = _atan(qp / denom) * f32(1.0 / (2.0 * np.pi))
+
+        old_carr_err = fstate[:, _F_OLD_CARR_ERR:_F_OLD_CARR_ERR + 1]
+        carr_nco = (fstate[:, _F_CARR_NCO:_F_CARR_NCO + 1]
+                    + f32(k1) * carr_err - f32(k2) * old_carr_err
+                    - f32(k3) * freq_err)
+        doppler_basis = fstate[:, _F_DOPPLER_BASIS:_F_DOPPLER_BASIS + 1]
+        inv_aid = fstate[:, _F_INV_AID:_F_INV_AID + 1]
+        new_carr_delta = doppler_basis + carr_nco
+
+        e_env = jnp.sqrt(ie * ie + qe * qe)
+        l_env = jnp.sqrt(il * il + ql * ql)
+        code_err = (e_env - l_env) / jnp.maximum(e_env + l_env, f32(1e-10))
+        old_code_err = fstate[:, _F_OLD_CODE_ERR:_F_OLD_CODE_ERR + 1]
+        code_nco = (fstate[:, _F_CODE_NCO:_F_CODE_NCO + 1]
+                    + f32(c_dll_p) * (code_err - old_code_err)
+                    + code_err * f32(c_dll_i))
+        new_code_delta = -code_nco + new_carr_delta * inv_aid
+
+        new_rem = rem + blk.astype(f32) * step - f32(code_length)
+
+        fstate[:, _F_REM:_F_REM + 1] = new_rem
+        fstate[:, _F_CODE_DELTA:_F_CODE_DELTA + 1] = new_code_delta
+        fstate[:, _F_CARR_DELTA:_F_CARR_DELTA + 1] = new_carr_delta
+        fstate[:, _F_CARR_NCO:_F_CARR_NCO + 1] = carr_nco
+        fstate[:, _F_OLD_CARR_ERR:_F_OLD_CARR_ERR + 1] = carr_err
+        fstate[:, _F_CODE_NCO:_F_CODE_NCO + 1] = code_nco
+        fstate[:, _F_OLD_CODE_ERR:_F_OLD_CODE_ERR + 1] = code_err
+        fstate[:, _F_IP_PREV:_F_IP_PREV + 1] = ip
+        fstate[:, _F_QP_PREV:_F_QP_PREV + 1] = qp
+
+        zero = jnp.zeros((CT, 1), f32)
+        out_ref[0, :, :] = jnp.concatenate([
+            ie, qe, ip, qp, il, ql, ie2, qe2, ip2, qp2, il2, ql2,
+            new_carr_delta, new_code_delta, new_rem, blk.astype(f32),
+            code_err, carr_err] + [zero] * (NOUT_D - 18), axis=1)
+
+        @pl.when(b == n_blocks - 1)
+        def _():
+            ffin_ref[:, :] = fstate[:, :]
+            posfin = jnp.concatenate(
+                [pos_sm[c].reshape(1, 1) for c in range(CT)], axis=0)
+            cphfin = pltpu.bitcast(jnp.concatenate(
+                [cphase_sm[c].reshape(1, 1) for c in range(CT)], axis=0),
+                jnp.int32)
+            ifin_ref[:, :] = jnp.concatenate(
+                [posfin, cphfin, jnp.zeros((CT, NI - 2), jnp.int32)],
+                axis=1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_blocks", "blkp", "code_length", "phases_per_chip",
+                     "span_chips", "base_code_step", "fs", "coefs", "ct",
+                     "interpret"))
+def track_chunk_dual_fused(chunk_t, tab, pos0, finit, cinit, carrbase,
+                           *, n_blocks: int, blkp: int, code_length: int,
+                           phases_per_chip: int, span_chips: float,
+                           base_code_step: float, fs: float, coefs,
+                           ct: int = 8, interpret: bool = False):
+    """Dual-code fused kernel. tab: f32 [C, R, 8, blkp] in HBM — phase
+    rows with the 6 tap planes (pilot E/P/L, data E/P/L; E/L spacing
+    baked into the planes by the table builder) padded to the 8-sublane
+    tile. Other args as
+    track_chunk_fused."""
+    C = pos0.shape[0]
+    CT = max(8, (ct // 8) * 8)
+    CT = min(CT, -(-C // 8) * 8)
+    Cp = -(-C // CT) * CT
+    nct = Cp // CT
+    k1, k2, k3, c_dll_p, c_dll_i = coefs
+    kernel = _make_dual_kernel(
+        n_blocks=n_blocks, ct=CT, blkp=blkp, code_length=code_length,
+        phases_per_chip=phases_per_chip, span_chips=span_chips,
+        base_code_step=base_code_step, inv_fs=1.0 / fs, fs=fs,
+        k1=k1, k2=k2, k3=k3, c_dll_p=c_dll_p, c_dll_i=c_dll_i)
+
+    if Cp != C:
+        padc = ((0, Cp - C),)
+        pos0 = jnp.pad(pos0, padc, constant_values=2)
+        cinit = jnp.pad(cinit.reshape(-1), padc)
+        finit = jnp.pad(finit, padc + ((0, 0),))
+        carrbase = jnp.pad(carrbase, padc + ((0, 0),))
+        tab = jnp.pad(tab, padc + ((0, 0), (0, 0), (0, 0)))
+    else:
+        cinit = cinit.reshape(-1)
+
+    W = -(-blkp // 128) * 128
+    A_pad = -(-(W // 64) // 8) * 8
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (A_pad, W), 1) // 64
+              == jax.lax.broadcasted_iota(jnp.int32, (A_pad, W), 0)
+              ).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nct, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_t (shared)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # tab (HBM, DMA'd)
+            pl.BlockSpec((CT, NF), lambda t, b, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, 1), lambda t, b, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # expand
+        ],
+        out_specs=(
+            pl.BlockSpec((1, CT, NOUT_D), lambda t, b, *_: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, NF), lambda t, b, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, NI), lambda t, b, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CT, NF), jnp.float32),       # fstate
+            pltpu.SMEM((CT,), jnp.uint32),           # carrier phase
+            pltpu.SMEM((CT,), jnp.int32),            # pos
+            pltpu.SMEM((CT,), jnp.int32),            # blk
+            pltpu.SMEM((CT,), jnp.uint32),           # cstep
+            pltpu.SMEM((CT,), jnp.int32),            # tap row
+            pltpu.VMEM((CT, 8, -(-blkp // 128) * 128),
+                       jnp.float32),             # DMA'd tap rows
+            pltpu.SemaphoreType.DMA((CT,)),
+        ],
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_blocks, Cp, NOUT_D), jnp.float32),
+        jax.ShapeDtypeStruct((Cp, NF), jnp.float32),
+        jax.ShapeDtypeStruct((Cp, NI), jnp.int32),
+    )
+
+    vmem = int(chunk_t.size * 4 + 2 * CT * 8 * blkp * 4
+               + 10 * CT * blkp * 4 + 2 ** 21)
+    out, ffin, ifin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 112 * 2 ** 20)),
+    )(pos0, cinit, chunk_t, tab, finit, carrbase, expand)
+    return (out[:, :C, :], ffin[:C], ifin[:C, I_POS],
+            jax.lax.bitcast_convert_type(ifin[:C, I_CARR_PHASE],
+                                         jnp.uint32))

@@ -220,3 +220,127 @@ def track_dual(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         dll_disc=cat(lambda o: o.dll_disc),
         pll_disc=cat(lambda o: o.pll_disc),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas dual-code engine (production L3 path): HBM tap-row table +
+# per-block row DMA (ops.track_kernel.track_chunk_dual_fused).
+# ---------------------------------------------------------------------------
+
+
+def dual_fused_span(sig: SignalConfig, phases_per_chip: int = 64) -> float:
+    """Table half-span in chips: covers |rem| (< one code step/sample)
+    plus rounding margin; E/L spacing is baked into the tap planes, so
+    it does NOT widen the span."""
+    step = float(sig.code_freq) / float(sig.fs)
+    need = step + 2.0 / phases_per_chip + 0.0625
+    return float(np.ceil(need * 8.0) / 8.0)
+
+
+def dual_fused_table(sig: SignalConfig, trk: TrackConfig, prns,
+                     phases_per_chip: int = 64) -> np.ndarray:
+    """Tap-row table for the fused dual kernel, f32 [C, R, 8, blkp].
+
+    Row p, plane j = the j-th tap waveform point-sampled at the nominal
+    chip rate from chip phase (-span + p/ph + off_j), circularly; planes
+    are (pilot, data) x (E, P, L) with off = (-spacing, 0, +spacing)
+    (DualBlockOut accumulator order). Lives in HBM; the kernel DMAs one
+    [8, blkp] row (planes padded to the sublane tile) per channel per
+    block.
+    """
+    from gnsstpu.signals import glonass_l3
+
+    blkp = sig.samples_per_code + 2
+    ph = phases_per_chip
+    span = dual_fused_span(sig, ph)
+    rows = int(round(2 * span * ph))
+    s = float(sig.code_freq) / float(sig.fs)
+    sp = float(trk.el_spacing)
+    k = np.arange(blkp, dtype=np.float64)
+    p = np.arange(rows, dtype=np.float64)
+    # 8 tap planes: 6 used + 2 zero pad, lanes padded to the 128 tile
+    # (HBM DMA slices must be tile-aligned in both trailing dims).
+    bp = -(-blkp // 128) * 128
+    out = np.zeros((len(prns), rows, 8, bp), np.float32)
+    for i, prn in enumerate(prns):
+        pilot = glonass_l3.generate_l3_code(glonass_l3.pilot_prn(prn))
+        data = glonass_l3.generate_l3_code(glonass_l3.data_prn(prn))
+        for j, (code, off) in enumerate(
+                [(pilot, -sp), (pilot, 0.0), (pilot, sp),
+                 (data, -sp), (data, 0.0), (data, sp)]):
+            idx = np.floor(-span + off + p[:, None] / ph
+                           + k[None, :] * s).astype(np.int64)
+            out[i, :, j, :blkp] = code[idx % sig.code_length]
+    return out
+
+
+def make_fused_dual_tracker(sig: SignalConfig, trk: TrackConfig, *,
+                            n_blocks: int, phases_per_chip: int = 64,
+                            ct: int = 8, interpret: bool = False):
+    """Fused-kernel dual tracker with the scan engine's pytrees:
+    track_chunk(chunk [N,2], tab [C,R,6,blkp], carr_base_u32 [C],
+                state: TrackState) -> (state, DualTrackOut)."""
+    from gnsstpu.ops import track_kernel as tk
+    from gnsstpu.ops.dualcode import DualBlockOut
+
+    spc = sig.samples_per_code
+    blkp = spc + 2
+    pdi = sig.code_period_s
+    tau1, tau2 = loop_filters.dll_coeffs(trk.dll_bw, trk.dll_damping, 1.0)
+    k1, k2, k3 = loop_filters.fll_pll_coeffs(trk.pll_bw, trk.fll_bw, pdi)
+    coefs = (float(k1), float(k2), float(k3),
+             float(tau2 / tau1), float(pdi / tau1))
+    base_code_step = float(np.float64(sig.code_freq) / sig.fs)
+    span = dual_fused_span(sig, phases_per_chip)
+
+    @jax.jit
+    def track_chunk(chunk, tab, carr_base_u32, state: TrackState):
+        C = carr_base_u32.shape[0]
+        inv_aid = jnp.full((C,), 1.0 / trk.aid_div, jnp.float32)
+        finit = jnp.stack([
+            state.corr.rem_code_phase, state.corr.code_delta,
+            state.corr.carr_delta, state.carr_nco, state.old_carr_err,
+            state.code_nco, state.old_code_err, state.ip_prev,
+            state.qp_prev, state.doppler_basis, inv_aid], axis=1)
+        finit = jnp.pad(finit, ((0, 0), (0, tk.NF - finit.shape[1])))
+        chunk_t = jnp.pad(chunk.T, ((0, 0), (0, 256)))
+        out, ffin, posfin, cfin = tk.track_chunk_dual_fused(
+            chunk_t, tab, state.corr.sample_pos, finit,
+            state.corr.carr_phase_u32,
+            carr_base_u32.astype(jnp.uint32)[:, None],
+            n_blocks=n_blocks, blkp=blkp, code_length=sig.code_length,
+            phases_per_chip=phases_per_chip, span_chips=span,
+            base_code_step=base_code_step, fs=float(sig.fs),
+            coefs=coefs, ct=ct, interpret=interpret)
+        new_state = TrackState(
+            corr=state.corr._replace(
+                rem_code_phase=ffin[:, tk._F_REM],
+                carr_phase_u32=cfin,
+                sample_pos=posfin,
+                code_delta=ffin[:, tk._F_CODE_DELTA],
+                carr_delta=ffin[:, tk._F_CARR_DELTA]),
+            doppler_basis=state.doppler_basis,
+            carr_nco=ffin[:, tk._F_CARR_NCO],
+            old_carr_err=ffin[:, tk._F_OLD_CARR_ERR],
+            code_nco=ffin[:, tk._F_CODE_NCO],
+            old_code_err=ffin[:, tk._F_OLD_CODE_ERR],
+            ip_prev=ffin[:, tk._F_IP_PREV],
+            qp_prev=ffin[:, tk._F_QP_PREV])
+        acc = DualBlockOut(
+            ie=out[:, :, tk.OD_IE], qe=out[:, :, tk.OD_QE],
+            ip=out[:, :, tk.OD_IP], qp=out[:, :, tk.OD_QP],
+            il=out[:, :, tk.OD_IL], ql=out[:, :, tk.OD_QL],
+            ie2=out[:, :, tk.OD_IE2], qe2=out[:, :, tk.OD_QE2],
+            ip2=out[:, :, tk.OD_IP2], qp2=out[:, :, tk.OD_QP2],
+            il2=out[:, :, tk.OD_IL2], ql2=out[:, :, tk.OD_QL2],
+            blksize=out[:, :, tk.OD_BLKSIZE].astype(jnp.int32),
+            rem_code_phase=out[:, :, tk.OD_REM])
+        tout = DualTrackOut(
+            acc=acc,
+            carr_doppler=out[:, :, tk.OD_CARR_DOPPLER],
+            code_freq_delta=out[:, :, tk.OD_CODE_FREQ_DELTA],
+            dll_disc=out[:, :, tk.OD_DLL_DISC],
+            pll_disc=out[:, :, tk.OD_PLL_DISC])
+        return new_state, tout
+
+    return track_chunk

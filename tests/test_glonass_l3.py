@@ -150,3 +150,83 @@ def test_l3oc_closed_loop():
             found = True
             break
     assert found, "encoded data bits not recovered"
+
+
+def test_fused_dual_kernel_matches_scan_dual():
+    """Production fused dual-code kernel (HBM tap-row table + per-block
+    row DMA) vs the exact gather-mode scan dual tracker: same loop
+    trajectories (the fused path quantizes code phase to 1/64 chip, so
+    accumulators agree to ~% and the filters to sub-Hz), and the closed
+    loop converges on a simulated L3 stream."""
+    import jax.numpy as jnp
+
+    from gnsstpu.tracking.dual import (dual_fused_table,
+                                       make_dual_tracker,
+                                       make_fused_dual_tracker)
+    from gnsstpu.tracking.scan import TrackState
+
+    sig = SignalConfig(signal="glonass_l3oc", if_freq=0.0, fs=12.0e6,
+                       code_freq=glonass_l3.CODE_FREQ,
+                       code_length=glonass_l3.CODE_LENGTH,
+                       complex_iq=True)
+    n_ms = 140
+    prn = 14
+    rng = np.random.default_rng(3)
+    pilot_ov, data_ov, _ = overlay_streams(
+        rng.integers(0, 2, 4).astype(np.int8), n_ms + 10)
+    common = dict(doppler_hz=1800.0, code_phase_chips=2345.5,
+                  cn0_dbhz=50.0)
+    sats = [SatParams(prn=glonass_l3.pilot_prn(prn), nav_bits=pilot_ov,
+                      carrier_phase=0.0, **common),
+            SatParams(prn=glonass_l3.data_prn(prn), nav_bits=data_ov,
+                      carrier_phase=np.pi / 2, **common)]
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=8)
+    chunk = jnp.asarray(sim.generate(n_ms + 3))
+
+    spchip = sig.fs / sig.code_freq
+    cp0 = int(round(common["code_phase_chips"] * spchip))
+    state0 = TrackState.init(np.array([cp0]),
+                             np.array([common["doppler_hz"] + 30.0],
+                                      np.float32))
+    import jax
+    state0 = jax.tree.map(jnp.asarray, state0)
+    trk = TrackConfig(dll_bw=1.0, el_spacing=0.3, pll_bw=25.0,
+                      fll_bw=250.0,
+                      aid_div=glonass_l3.CARRIER_HZ / glonass_l3.CODE_FREQ)
+    carr_base = jnp.asarray(np.array([0], np.uint32))
+
+    def pad(c):
+        return np.concatenate([c[-1:], c, c[:1]]).astype(np.float32)
+
+    pilot = jnp.asarray(pad(glonass_l3.generate_l3_code(
+        glonass_l3.pilot_prn(prn)))[None])
+    data = jnp.asarray(pad(glonass_l3.generate_l3_code(
+        glonass_l3.data_prn(prn)))[None])
+    ref_tracker = make_dual_tracker(sig, trk, n_blocks=n_ms)
+    rs, ro = ref_tracker(chunk, pilot, data, carr_base, state0)
+
+    tab = jnp.asarray(dual_fused_table(sig, trk, [prn]))
+    fused = make_fused_dual_tracker(sig, trk, n_blocks=n_ms,
+                                    interpret=True)
+    gs, go = fused(chunk, tab, carr_base, state0)
+
+    # Loop trajectories track the exact engine.
+    np.testing.assert_allclose(np.asarray(go.carr_doppler),
+                               np.asarray(ro.carr_doppler), atol=1.5)
+    # Both converge to the true Doppler.
+    assert abs(float(np.asarray(go.carr_doppler)[-20:].mean())
+               - common["doppler_hz"]) < 3.0
+    # Accumulators: phase-quantized rows vs exact gathers, ~% level.
+    a, b = np.asarray(go.acc.ip), np.asarray(ro.acc.ip)
+    assert np.max(np.abs(a - b)) < 0.05 * np.abs(b).max()
+    # Pilot prompt strong; data component rides in quadrature.
+    # C/N0 50 dB-Hz at 12 Msps -> per-component amplitude ~0.13, full
+    # coherent prompt ~1560; mid-settling correlation ~900 vs a noise
+    # floor of ~110 (sigma * sqrt(spc)).
+    spc_n = sig.samples_per_code
+    assert np.abs(a[-10:]).mean() > 0.05 * spc_n
+    q2 = np.asarray(go.acc.qp2)
+    assert np.abs(q2[-10:]).mean() > 0.05 * spc_n
+    # Sample positions advance identically (same block geometry).
+    np.testing.assert_array_equal(np.asarray(gs.corr.sample_pos),
+                                  np.asarray(rs.corr.sample_pos))

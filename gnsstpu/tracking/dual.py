@@ -146,15 +146,19 @@ class DualTrackResults:
 
 
 def track_dual(source, channels: Sequence[ChannelInit], sig: SignalConfig,
-               trk: TrackConfig, n_ms: int, chunk_ms: int = 256
-               ) -> DualTrackResults:
+               trk: TrackConfig, n_ms: int, chunk_ms: int = 256,
+               code_mode: str = "auto") -> DualTrackResults:
     """Chunked host driver for GLONASS L3OC data+pilot tracking.
 
     channels[].prn is the satellite number 1..31; the pilot code is
     code(prn) and the data code is code(prn + 32) (signals.glonass_l3).
+    code_mode: "auto" = the fused Pallas dual kernel on TPU backends
+    (production), exact gather scan elsewhere; or "fused"/"gather".
     """
     from gnsstpu.signals import glonass_l3
+    from gnsstpu.tracking.driver import resolve_engine
 
+    code_mode = resolve_engine(code_mode)
     C = len(channels)
     spc = sig.samples_per_code
     drift = int(np.ceil(n_ms * 1e-3 * 2e-5 * sig.fs)) + 64
@@ -163,12 +167,16 @@ def track_dual(source, channels: Sequence[ChannelInit], sig: SignalConfig,
     def pad(c):
         return np.concatenate([c[-1:], c, c[:1]]).astype(np.float32)
 
-    pilot = jnp.asarray(np.stack(
-        [pad(glonass_l3.generate_l3_code(glonass_l3.pilot_prn(ch.prn)))
-         for ch in channels]))
-    data = jnp.asarray(np.stack(
-        [pad(glonass_l3.generate_l3_code(glonass_l3.data_prn(ch.prn)))
-         for ch in channels]))
+    if code_mode == "fused":
+        tab = jnp.asarray(dual_fused_table(
+            sig, trk, [ch.prn for ch in channels]))
+    else:
+        pilot = jnp.asarray(np.stack(
+            [pad(glonass_l3.generate_l3_code(glonass_l3.pilot_prn(ch.prn)))
+             for ch in channels]))
+        data = jnp.asarray(np.stack(
+            [pad(glonass_l3.generate_l3_code(glonass_l3.data_prn(ch.prn)))
+             for ch in channels]))
 
     state = TrackState.init(
         np.array([ch.code_phase for ch in channels], np.int64),
@@ -179,7 +187,13 @@ def track_dual(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         [nco.freq_to_step_u32(sig.if_freq + ch.if_offset_hz, sig.fs)
          for ch in channels], np.uint32))
 
-    tracker = make_dual_tracker(sig, trk, n_blocks=chunk_ms)
+    if code_mode == "fused":
+        fused = make_fused_dual_tracker(sig, trk, n_blocks=chunk_ms)
+
+        def tracker(chunk, _p, _d, cb, st):
+            return fused(chunk, tab, cb, st)
+    else:
+        tracker = make_dual_tracker(sig, trk, n_blocks=chunk_ms)
 
     n_chunks = int(np.ceil(n_ms / chunk_ms))
     outs = []
@@ -191,7 +205,10 @@ def track_dual(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         rel = np.round(abs_pos - s0).astype(np.int64)
         state = state._replace(corr=state.corr._replace(
             sample_pos=jnp.asarray(rel, jnp.int32)))
-        state, out = tracker(chunk, pilot, data, carr_base, state)
+        state, out = tracker(chunk,
+                             None if code_mode == "fused" else pilot,
+                             None if code_mode == "fused" else data,
+                             carr_base, state)
         out = jax.tree.map(np.asarray, out)
         outs.append(out)
         blk = out.acc.blksize.astype(np.float64)

@@ -671,3 +671,341 @@ def track_chunk_dual_fused(chunk_t, tab, pos0, finit, cinit, carrbase,
     return (out[:, :C, :], ffin[:C], ifin[:C, I_POS],
             jax.lax.bitcast_convert_type(ifin[:C, I_CARR_PHASE],
                                          jnp.uint32))
+
+
+# ---------------------------------------------------------------------------
+# BOC double-estimator fused kernel — Galileo E1 production engine.
+#
+# Ten-correlator double-estimator (DLL + SLL + FLL-assisted PLL,
+# reference GALILEO/E1/tracking.sci:300-430) in the dual-kernel mould:
+# both the per-channel primary-code tap table ([Cp, Rc, 8, BP], E/P/L
+# planes at +-code_spacing) and the SHARED meandr tap table
+# ([Rs, 8, BP], E/P/L planes at +-sub_spacing in half-chips) live in HBM
+# and each block DMAs one row of each per channel; the five
+# (subcarrier, code) tap products form in VMEM. Two independent
+# estimators = two phase states and two row indices per channel.
+# ---------------------------------------------------------------------------
+
+# Extra float-state lanes for the second (subcarrier) estimator.
+_F_REM_SUB, _F_SUB_DELTA, _F_SLL_NCO, _F_OLD_SLL_ERR, _F_INV_AID_SUB = \
+    range(11, 16)
+
+# BOC output lanes (acc order matches ops.boc.BocBlockOut).
+(OB_IEP, OB_QEP, OB_IPE, OB_QPE, OB_IPP, OB_QPP, OB_IPL, OB_QPL,
+ OB_ILP, OB_QLP, OB_CARR_DOPPLER, OB_CODE_FREQ_DELTA, OB_SUB_FREQ_DELTA,
+ OB_REM, OB_REM_SUB, OB_BLKSIZE, OB_DLL_DISC, OB_SLL_DISC,
+ OB_PLL_DISC) = range(19)
+NOUT_B = 24
+
+
+def _make_boc_kernel(*, n_blocks: int, ct: int, blkp: int,
+                     code_length: int, sub_length: int,
+                     ph_code: int, ph_sub: int,
+                     span_code: float, span_sub: float,
+                     base_code_step: float, base_sub_step: float,
+                     inv_fs: float, fs: float,
+                     k1: float, k2: float, k3: float,
+                     c_dll_p: float, c_dll_i: float,
+                     c_sll_p: float, c_sll_i: float):
+    CT = ct
+    f32 = jnp.float32
+    rows_c = int(round(2 * span_code * ph_code))
+    rows_s = int(round(2 * span_sub * ph_sub))
+    nco_scale = float(4294967296.0 / fs)
+    wide = -(-(blkp + 128) // 128) * 128
+    W = -(-blkp // 128) * 128
+    A = W // 64
+    A_pad = -(-A // 8) * 8
+
+    def kernel(pos0_sm, cinit_sm, chunk_ref, ctab_ref, stab_ref,
+               finit_ref, carrbase_ref, expand_ref,
+               out_ref, ffin_ref, ifin_ref,
+               fstate, cphase_sm, pos_sm, blk_sm, cstep_sm, crow_sm,
+               srow_sm, crows_scr, srows_scr, csem, ssem):
+        ctile = pl.program_id(0)
+        b = pl.program_id(1)
+        c0 = ctile * CT
+
+        @pl.when(b == 0)
+        def _():
+            fstate[:, :] = finit_ref[:, :]
+            for c in range(CT):
+                pos_sm[c] = pos0_sm[c0 + c]
+                cphase_sm[c] = cinit_sm[c0 + c]
+
+        # ---- Phase 0: geometry + both estimators' row selection ----
+        rem = fstate[:, _F_REM:_F_REM + 1]
+        rem_s = fstate[:, _F_REM_SUB:_F_REM_SUB + 1]
+        code_delta = fstate[:, _F_CODE_DELTA:_F_CODE_DELTA + 1]
+        sub_delta = fstate[:, _F_SUB_DELTA:_F_SUB_DELTA + 1]
+        carr_delta = fstate[:, _F_CARR_DELTA:_F_CARR_DELTA + 1]
+        step_c = f32(base_code_step) + code_delta * f32(inv_fs)
+        step_s = f32(base_sub_step) + sub_delta * f32(inv_fs)
+        blkf = jnp.ceil((f32(code_length) - rem) / step_c)
+        blk = jnp.clip(blkf.astype(jnp.int32), 1, blkp)
+        cstep = (carrbase_ref[:, 0:1]
+                 + pltpu.bitcast(
+                     jnp.round(carr_delta * f32(nco_scale)
+                               ).astype(jnp.int32), jnp.uint32))
+        prow_c = jnp.round((rem + f32(span_code)) * f32(float(ph_code)))
+        prow_c = jnp.clip(prow_c.astype(jnp.int32), 0, rows_c - 1)
+        prow_s = jnp.round((rem_s + f32(span_sub)) * f32(float(ph_sub)))
+        prow_s = jnp.clip(prow_s.astype(jnp.int32), 0, rows_s - 1)
+        for c in range(CT):
+            crow_sm[c] = prow_c[c, 0]
+            srow_sm[c] = prow_s[c, 0]
+            blk_sm[c] = blk[c, 0]
+            cstep_sm[c] = cstep[c, 0]
+
+        # ---- Phase A: start row DMAs, LO while they fly, correlate ----
+        copies = []
+        for c in range(CT):
+            cp1 = pltpu.make_async_copy(
+                ctab_ref.at[c0 + c, crow_sm[c]], crows_scr.at[c],
+                csem.at[c])
+            cp1.start()
+            cp2 = pltpu.make_async_copy(
+                stab_ref.at[srow_sm[c]], srows_scr.at[c],
+                ssem.at[c])
+            cp2.start()
+            copies += [cp1, cp2]
+
+        wins = []
+        for c in range(CT):
+            pos = pos_sm[c]
+            al = pl.multiple_of((pos // 128) * 128, 128)
+            off = pos - al
+            wins.append(pltpu.roll(chunk_ref[0:2, pl.ds(al, wide)],
+                                   shift=wide - off, axis=1))
+            pos_sm[c] = pos + blk_sm[c]
+        xi = jnp.concatenate([w[0:1, :blkp] for w in wins], axis=0)
+        xq = jnp.concatenate([w[1:2, :blkp] for w in wins], axis=0)
+
+        ph_col = jnp.concatenate(
+            [cphase_sm[c].reshape(1, 1) for c in range(CT)], axis=0)
+        step_col = jnp.concatenate(
+            [cstep_sm[c].reshape(1, 1) for c in range(CT)], axis=0)
+        for c in range(CT):
+            cphase_sm[c] = (cphase_sm[c]
+                            + blk_sm[c].astype(jnp.uint32) * cstep_sm[c])
+
+        ang_scale = f32(2.0 * np.pi / 4294967296.0)
+        iota_a = jax.lax.broadcasted_iota(jnp.uint32, (CT, A_pad), 1)
+        ka = ph_col + iota_a * (step_col * jnp.uint32(64))
+        aa = pltpu.bitcast(ka, jnp.int32).astype(f32) * ang_scale
+        ca, sa = jnp.cos(aa), jnp.sin(aa)
+        iota_r = jax.lax.broadcasted_iota(jnp.uint32, (CT, 64), 1)
+        ar = (pltpu.bitcast(iota_r * step_col, jnp.int32).astype(f32)
+              * ang_scale)
+        cr, sr = jnp.cos(ar), jnp.sin(ar)
+        crt = pltpu.repeat(cr, A, axis=1)[:, :W]
+        srt = pltpu.repeat(sr, A, axis=1)[:, :W]
+        ex = expand_ref[:, :]
+        cA = jnp.dot(ca, ex, preferred_element_type=f32)
+        sA = jnp.dot(sa, ex, preferred_element_type=f32)
+        lo_c = (cA * crt - sA * srt)[:, :blkp]
+        lo_s = (sA * crt + cA * srt)[:, :blkp]
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (CT, blkp), 1)
+                < blk).astype(f32)
+        bb_i = (xi * lo_c + xq * lo_s) * mask
+        bb_q = (xq * lo_c - xi * lo_s) * mask
+
+        for cp in copies:
+            cp.wait()
+
+        def rows(scr, j):
+            return jnp.concatenate(
+                [scr[c, j:j + 1, :blkp] for c in range(CT)], axis=0)
+
+        code_e, code_p, code_l = (rows(crows_scr, j) for j in range(3))
+        sub_e, sub_p, sub_l = (rows(srows_scr, j) for j in range(3))
+        taps = [sub_e * code_p, sub_p * code_e, sub_p * code_p,
+                sub_p * code_l, sub_l * code_p]
+        accs = []
+        for t in taps:
+            accs.append(jnp.sum(t * bb_i, axis=1, keepdims=True))
+            accs.append(jnp.sum(t * bb_q, axis=1, keepdims=True))
+        (iep, qep, ipe, qpe, ipp, qpp, ipl, qpl, ilp, qlp) = accs
+
+        # ---- Phase B: double-estimator loops (tracking/boc.py) ----
+        ip_prev = fstate[:, _F_IP_PREV:_F_IP_PREV + 1]
+        qp_prev = fstate[:, _F_QP_PREV:_F_QP_PREV + 1]
+        cross = ipp * qp_prev - ip_prev * qpp
+        dot = ipp * ip_prev + qpp * qp_prev
+        safe = jnp.where(jnp.abs(dot) < f32(1e-30),
+                         jnp.where(dot < 0, f32(-1e-30), f32(1e-30)), dot)
+        freq_err = _atan(cross / safe) * f32(1.0 / np.pi)
+        denom = jnp.where(jnp.abs(ipp) < 1e-10, f32(1e-10), ipp)
+        carr_err = _atan(qpp / denom) * f32(1.0 / (2.0 * np.pi))
+        old_carr_err = fstate[:, _F_OLD_CARR_ERR:_F_OLD_CARR_ERR + 1]
+        carr_nco = (fstate[:, _F_CARR_NCO:_F_CARR_NCO + 1]
+                    + f32(k1) * carr_err - f32(k2) * old_carr_err
+                    - f32(k3) * freq_err)
+        doppler_basis = fstate[:, _F_DOPPLER_BASIS:_F_DOPPLER_BASIS + 1]
+        new_carr_delta = doppler_basis + carr_nco
+
+        e_env = jnp.sqrt(ipe * ipe + qpe * qpe)
+        l_env = jnp.sqrt(ipl * ipl + qpl * qpl)
+        code_err = (e_env - l_env) / jnp.maximum(e_env + l_env, f32(1e-10))
+        old_code_err = fstate[:, _F_OLD_CODE_ERR:_F_OLD_CODE_ERR + 1]
+        code_nco = (fstate[:, _F_CODE_NCO:_F_CODE_NCO + 1]
+                    + f32(c_dll_p) * (code_err - old_code_err)
+                    + code_err * f32(c_dll_i))
+        inv_aid = fstate[:, _F_INV_AID:_F_INV_AID + 1]
+        new_code_delta = -code_nco + new_carr_delta * inv_aid
+
+        se_env = jnp.sqrt(iep * iep + qep * qep)
+        sl_env = jnp.sqrt(ilp * ilp + qlp * qlp)
+        sll_err = (se_env - sl_env) / jnp.maximum(se_env + sl_env,
+                                                  f32(1e-10))
+        old_sll_err = fstate[:, _F_OLD_SLL_ERR:_F_OLD_SLL_ERR + 1]
+        sll_nco = (fstate[:, _F_SLL_NCO:_F_SLL_NCO + 1]
+                   + f32(c_sll_p) * (sll_err - old_sll_err)
+                   + sll_err * f32(c_sll_i))
+        inv_aid_sub = fstate[:, _F_INV_AID_SUB:_F_INV_AID_SUB + 1]
+        new_sub_delta = -sll_nco + new_carr_delta * inv_aid_sub
+
+        bsf = blk.astype(f32)
+        new_rem = rem + bsf * step_c - f32(code_length)
+        new_rem_s = rem_s + bsf * step_s - f32(sub_length)
+
+        fstate[:, _F_REM:_F_REM + 1] = new_rem
+        fstate[:, _F_REM_SUB:_F_REM_SUB + 1] = new_rem_s
+        fstate[:, _F_CODE_DELTA:_F_CODE_DELTA + 1] = new_code_delta
+        fstate[:, _F_SUB_DELTA:_F_SUB_DELTA + 1] = new_sub_delta
+        fstate[:, _F_CARR_DELTA:_F_CARR_DELTA + 1] = new_carr_delta
+        fstate[:, _F_CARR_NCO:_F_CARR_NCO + 1] = carr_nco
+        fstate[:, _F_OLD_CARR_ERR:_F_OLD_CARR_ERR + 1] = carr_err
+        fstate[:, _F_CODE_NCO:_F_CODE_NCO + 1] = code_nco
+        fstate[:, _F_OLD_CODE_ERR:_F_OLD_CODE_ERR + 1] = code_err
+        fstate[:, _F_SLL_NCO:_F_SLL_NCO + 1] = sll_nco
+        fstate[:, _F_OLD_SLL_ERR:_F_OLD_SLL_ERR + 1] = sll_err
+        fstate[:, _F_IP_PREV:_F_IP_PREV + 1] = ipp
+        fstate[:, _F_QP_PREV:_F_QP_PREV + 1] = qpp
+
+        zero = jnp.zeros((CT, 1), f32)
+        out_ref[0, :, :] = jnp.concatenate([
+            iep, qep, ipe, qpe, ipp, qpp, ipl, qpl, ilp, qlp,
+            new_carr_delta, new_code_delta, new_sub_delta, new_rem,
+            new_rem_s, bsf, code_err, sll_err, carr_err]
+            + [zero] * (NOUT_B - 19), axis=1)
+
+        @pl.when(b == n_blocks - 1)
+        def _():
+            ffin_ref[:, :] = fstate[:, :]
+            posfin = jnp.concatenate(
+                [pos_sm[c].reshape(1, 1) for c in range(CT)], axis=0)
+            cphfin = pltpu.bitcast(jnp.concatenate(
+                [cphase_sm[c].reshape(1, 1) for c in range(CT)], axis=0),
+                jnp.int32)
+            ifin_ref[:, :] = jnp.concatenate(
+                [posfin, cphfin, jnp.zeros((CT, NI - 2), jnp.int32)],
+                axis=1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_blocks", "blkp", "code_length", "sub_length",
+                     "ph_code", "ph_sub", "span_code", "span_sub",
+                     "base_code_step", "base_sub_step", "fs", "coefs",
+                     "ct", "interpret"))
+def track_chunk_boc_fused(chunk_t, ctab, stab, pos0, finit, cinit,
+                          carrbase, *, n_blocks: int, blkp: int,
+                          code_length: int, sub_length: int,
+                          ph_code: int, ph_sub: int, span_code: float,
+                          span_sub: float, base_code_step: float,
+                          base_sub_step: float, fs: float, coefs,
+                          ct: int = 8, interpret: bool = False):
+    """BOC double-estimator fused kernel. ctab: f32 [C, Rc, 8, BP]
+    per-channel primary-code tap rows (E/P/L planes, code_spacing baked);
+    stab: f32 [Rs, 8, BP] shared meandr tap rows (sub_spacing baked).
+    coefs = (k1, k2, k3, c_dll_p, c_dll_i, c_sll_p, c_sll_i)."""
+    C = pos0.shape[0]
+    CT = max(8, (ct // 8) * 8)
+    CT = min(CT, -(-C // 8) * 8)
+    Cp = -(-C // CT) * CT
+    nct = Cp // CT
+    k1, k2, k3, c_dll_p, c_dll_i, c_sll_p, c_sll_i = coefs
+    kernel = _make_boc_kernel(
+        n_blocks=n_blocks, ct=CT, blkp=blkp, code_length=code_length,
+        sub_length=sub_length, ph_code=ph_code, ph_sub=ph_sub,
+        span_code=span_code, span_sub=span_sub,
+        base_code_step=base_code_step, base_sub_step=base_sub_step,
+        inv_fs=1.0 / fs, fs=fs, k1=k1, k2=k2, k3=k3,
+        c_dll_p=c_dll_p, c_dll_i=c_dll_i, c_sll_p=c_sll_p,
+        c_sll_i=c_sll_i)
+
+    if Cp != C:
+        padc = ((0, Cp - C),)
+        pos0 = jnp.pad(pos0, padc, constant_values=2)
+        cinit = jnp.pad(cinit.reshape(-1), padc)
+        finit = jnp.pad(finit, padc + ((0, 0),))
+        carrbase = jnp.pad(carrbase, padc + ((0, 0),))
+        ctab = jnp.pad(ctab, padc + ((0, 0), (0, 0), (0, 0)))
+    else:
+        cinit = cinit.reshape(-1)
+
+    W = -(-blkp // 128) * 128
+    A_pad = -(-(W // 64) // 8) * 8
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (A_pad, W), 1) // 64
+              == jax.lax.broadcasted_iota(jnp.int32, (A_pad, W), 0)
+              ).astype(jnp.float32)
+    BP = -(-blkp // 128) * 128
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nct, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_t
+            pl.BlockSpec(memory_space=pltpu.ANY),    # ctab (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # stab (HBM)
+            pl.BlockSpec((CT, NF), lambda t, b, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, 1), lambda t, b, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # expand
+        ],
+        out_specs=(
+            pl.BlockSpec((1, CT, NOUT_B), lambda t, b, *_: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, NF), lambda t, b, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, NI), lambda t, b, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CT, NF), jnp.float32),       # fstate
+            pltpu.SMEM((CT,), jnp.uint32),           # carrier phase
+            pltpu.SMEM((CT,), jnp.int32),            # pos
+            pltpu.SMEM((CT,), jnp.int32),            # blk
+            pltpu.SMEM((CT,), jnp.uint32),           # cstep
+            pltpu.SMEM((CT,), jnp.int32),            # code row
+            pltpu.SMEM((CT,), jnp.int32),            # sub row
+            pltpu.VMEM((CT, 8, BP), jnp.float32),    # code tap rows
+            pltpu.VMEM((CT, 8, BP), jnp.float32),    # sub tap rows
+            pltpu.SemaphoreType.DMA((CT,)),          # code-row DMAs
+            pltpu.SemaphoreType.DMA((CT,)),          # sub-row DMAs
+        ],
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_blocks, Cp, NOUT_B), jnp.float32),
+        jax.ShapeDtypeStruct((Cp, NF), jnp.float32),
+        jax.ShapeDtypeStruct((Cp, NI), jnp.int32),
+    )
+
+    vmem = int(chunk_t.size * 4 + 4 * CT * 8 * BP * 4
+               + 12 * CT * blkp * 4 + 2 ** 21)
+    out, ffin, ifin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 112 * 2 ** 20)),
+    )(pos0, cinit, chunk_t, ctab, stab, finit, carrbase, expand)
+    return (out[:, :C, :], ffin[:C], ifin[:C, I_POS],
+            jax.lax.bitcast_convert_type(ifin[:C, I_CARR_PHASE],
+                                         jnp.uint32))

@@ -203,10 +203,16 @@ class BocTrackResults:
 
 
 def track_boc(source, channels: Sequence[ChannelInit], sig: SignalConfig,
-              trk: TrackConfig, n_blocks: int, chunk_blocks: int = 128
-              ) -> BocTrackResults:
-    """Chunked host driver around the BOC scan engine (Galileo E1B)."""
+              trk: TrackConfig, n_blocks: int, chunk_blocks: int = 128,
+              code_mode: str = "auto") -> BocTrackResults:
+    """Chunked host driver around the BOC engines (Galileo E1B).
+
+    code_mode: "auto" = the fused Pallas double-estimator kernel on TPU
+    backends (production), exact gather scan elsewhere."""
     from gnsstpu.signals import galileo_e1
+    from gnsstpu.tracking.driver import resolve_engine
+
+    code_mode = resolve_engine(code_mode)
 
     C = len(channels)
     spc = sig.samples_per_code
@@ -228,7 +234,16 @@ def track_boc(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         [nco.freq_to_step_u32(sig.if_freq + ch.if_offset_hz, sig.fs)
          for ch in channels], np.uint32))
 
-    tracker = make_boc_tracker(sig, trk, n_blocks=chunk_blocks)
+    if code_mode == "fused":
+        ctab, stab, _, _ = boc_fused_tables(
+            sig, trk, [ch.prn for ch in channels])
+        ctab, stab = jnp.asarray(ctab), jnp.asarray(stab)
+        ftracker = make_fused_boc_tracker(sig, trk, n_blocks=chunk_blocks)
+
+        def tracker(chunk, _codes, _sub, cb, st):
+            return ftracker(chunk, ctab, stab, cb, st)
+    else:
+        tracker = make_boc_tracker(sig, trk, n_blocks=chunk_blocks)
 
     n_chunks = int(np.ceil(n_blocks / chunk_blocks))
     outs = []
@@ -273,3 +288,153 @@ def track_boc(source, channels: Sequence[ChannelInit], sig: SignalConfig,
         sll_disc=cat(lambda o: o.sll_disc),
         pll_disc=cat(lambda o: o.pll_disc),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas BOC engine (production E1 path): per-channel primary-code
+# tap table + shared meandr tap table in HBM, one row DMA of each per
+# channel per block (ops.track_kernel.track_chunk_boc_fused).
+# ---------------------------------------------------------------------------
+
+
+def _boc_spans(sig: SignalConfig, ph: int):
+    """(span_code, span_sub) in their own clock units. The code
+    estimator's remainder stays within one code step per sample; the sub
+    estimator's remainder additionally carries the DOUBLE-ESTIMATOR
+    offset — the SLL measures the subcarrier delay independently and may
+    sit up to ~half a half-chip away from 2x the code delay — so its
+    span includes that excursion."""
+    step_c = float(sig.code_freq / 2.0) / float(sig.fs)
+    step_s = float(sig.code_freq) / float(sig.fs)
+    span_c = float(np.ceil((step_c + 2.0 / ph + 0.0625) * 8.0) / 8.0)
+    span_s = float(np.ceil((step_s + 0.625 + 2.0 / ph + 0.0625)
+                           * 8.0) / 8.0)
+    return span_c, span_s
+
+
+def _tap_table(codes, length: int, fs: float, freq: float, blkp: int,
+               spacing: float, ph: int, span: float):
+    """Generic tap-row table: [N, R, 8, BP] f32 with E/P/L planes at
+    (-spacing, 0, +spacing) units of the given clock."""
+    step = float(freq) / float(fs)
+    rows = int(round(2 * span * ph))
+    bp = -(-blkp // 128) * 128
+    k = np.arange(blkp, dtype=np.float64)
+    p = np.arange(rows, dtype=np.float64)
+    out = np.zeros((len(codes), rows, 8, bp), np.float32)
+    for i, code in enumerate(codes):
+        for j, off in enumerate((-spacing, 0.0, spacing)):
+            idx = np.floor(-span + off + p[:, None] / ph
+                           + k[None, :] * step).astype(np.int64)
+            out[i, :, j, :blkp] = code[idx % length]
+    return out
+
+
+def boc_fused_tables(sig: SignalConfig, trk: TrackConfig, prns,
+                     ph: int = 64):
+    """(code_tab [C, Rc, 8, BP], sub_tab [Rs, 8, BP], span_c, span_s)
+    for the fused BOC kernel. sig follows the galileo_e1b registry
+    convention (code_freq/code_length at the meandr rate)."""
+    from gnsstpu.signals import galileo_e1
+
+    blkp = sig.samples_per_code + 2
+    code_len = sig.code_length // 2
+    span_c, span_s = _boc_spans(sig, ph)
+    ctab = _tap_table(
+        [galileo_e1.primary_code(p) for p in prns], code_len,
+        sig.fs, sig.code_freq / 2.0, blkp, trk.el_spacing, ph, span_c)
+    stab = _tap_table(
+        [galileo_e1.subcarrier()], sig.code_length,
+        sig.fs, sig.code_freq, blkp, trk.sll_spacing, ph, span_s)
+    return ctab, stab[0], span_c, span_s
+
+
+def make_fused_boc_tracker(sig: SignalConfig, trk: TrackConfig, *,
+                           n_blocks: int, ph: int = 64, ct: int = 8,
+                           interpret: bool = False):
+    """Fused-kernel BOC tracker with the scan engine's pytrees:
+    track_chunk(chunk [N,2], ctab, stab, carr_base_u32 [C],
+                state: BocTrackState) -> (state, BocTrackOut)."""
+    from gnsstpu.ops import track_kernel as tk
+    from gnsstpu.ops.boc import BocBlockOut
+
+    sub_len = sig.code_length
+    code_len = sub_len // 2
+    spc = sig.samples_per_code
+    blkp = spc + 2
+    pdi = sig.code_period_s
+    tau1c, tau2c = loop_filters.dll_coeffs(trk.dll_bw, trk.dll_damping,
+                                           1.0)
+    tau1s, tau2s = loop_filters.dll_coeffs(trk.sll_bw, trk.sll_damping,
+                                           1.0)
+    k1, k2, k3 = loop_filters.fll_pll_coeffs(trk.pll_bw, trk.fll_bw, pdi)
+    coefs = (float(k1), float(k2), float(k3),
+             float(tau2c / tau1c), float(pdi / tau1c),
+             float(tau2s / tau1s), float(pdi / tau1s))
+    base_code_step = float(np.float64(sig.code_freq / 2.0) / sig.fs)
+    base_sub_step = float(np.float64(sig.code_freq) / sig.fs)
+    span_c, span_s = _boc_spans(sig, ph)
+
+    @jax.jit
+    def track_chunk(chunk, ctab, stab, carr_base_u32,
+                    state: BocTrackState):
+        C = carr_base_u32.shape[0]
+        f32 = jnp.float32
+        inv_aid = jnp.full((C,), 1.0 / trk.aid_div, f32)
+        inv_aid_sub = jnp.full((C,), 2.0 / trk.aid_div, f32)
+        zeros = jnp.zeros((C,), f32)
+        lanes = [state.corr.rem_code_phase, state.corr.code_delta,
+                 state.corr.carr_delta, state.carr_nco,
+                 state.old_carr_err, state.code_nco, state.old_code_err,
+                 state.ip_prev, state.qp_prev, state.doppler_basis,
+                 inv_aid, state.corr.rem_sub_phase, state.corr.sub_delta,
+                 state.sll_nco, state.old_sll_err, inv_aid_sub]
+        finit = jnp.stack(lanes, axis=1)                 # [C, 16]
+        chunk_t = jnp.pad(chunk.T, ((0, 0), (0, 256)))
+        out, ffin, posfin, cfin = tk.track_chunk_boc_fused(
+            chunk_t, ctab, stab, state.corr.sample_pos, finit,
+            state.corr.carr_phase_u32,
+            carr_base_u32.astype(jnp.uint32)[:, None],
+            n_blocks=n_blocks, blkp=blkp, code_length=code_len,
+            sub_length=sub_len, ph_code=ph, ph_sub=ph,
+            span_code=span_c, span_sub=span_s,
+            base_code_step=base_code_step, base_sub_step=base_sub_step,
+            fs=float(sig.fs), coefs=coefs, ct=ct, interpret=interpret)
+        new_state = BocTrackState(
+            corr=state.corr._replace(
+                rem_code_phase=ffin[:, tk._F_REM],
+                rem_sub_phase=ffin[:, tk._F_REM_SUB],
+                carr_phase_u32=cfin,
+                sample_pos=posfin,
+                code_delta=ffin[:, tk._F_CODE_DELTA],
+                sub_delta=ffin[:, tk._F_SUB_DELTA],
+                carr_delta=ffin[:, tk._F_CARR_DELTA]),
+            doppler_basis=state.doppler_basis,
+            carr_nco=ffin[:, tk._F_CARR_NCO],
+            old_carr_err=ffin[:, tk._F_OLD_CARR_ERR],
+            code_nco=ffin[:, tk._F_CODE_NCO],
+            old_code_err=ffin[:, tk._F_OLD_CODE_ERR],
+            sll_nco=ffin[:, tk._F_SLL_NCO],
+            old_sll_err=ffin[:, tk._F_OLD_SLL_ERR],
+            ip_prev=ffin[:, tk._F_IP_PREV],
+            qp_prev=ffin[:, tk._F_QP_PREV])
+        acc = BocBlockOut(
+            i_ep=out[:, :, tk.OB_IEP], q_ep=out[:, :, tk.OB_QEP],
+            i_pe=out[:, :, tk.OB_IPE], q_pe=out[:, :, tk.OB_QPE],
+            i_pp=out[:, :, tk.OB_IPP], q_pp=out[:, :, tk.OB_QPP],
+            i_pl=out[:, :, tk.OB_IPL], q_pl=out[:, :, tk.OB_QPL],
+            i_lp=out[:, :, tk.OB_ILP], q_lp=out[:, :, tk.OB_QLP],
+            blksize=out[:, :, tk.OB_BLKSIZE].astype(jnp.int32),
+            rem_code_phase=out[:, :, tk.OB_REM],
+            rem_sub_phase=out[:, :, tk.OB_REM_SUB])
+        tout = BocTrackOut(
+            acc=acc,
+            carr_doppler=out[:, :, tk.OB_CARR_DOPPLER],
+            code_freq_delta=out[:, :, tk.OB_CODE_FREQ_DELTA],
+            sub_freq_delta=out[:, :, tk.OB_SUB_FREQ_DELTA],
+            dll_disc=out[:, :, tk.OB_DLL_DISC],
+            sll_disc=out[:, :, tk.OB_SLL_DISC],
+            pll_disc=out[:, :, tk.OB_PLL_DISC])
+        return new_state, tout
+
+    return track_chunk

@@ -273,3 +273,98 @@ def test_e1c_pilot_codes_distinct_and_balanced():
         assert not np.array_equal(c, e1.primary_code(prn))
         seen.add(c.tobytes())
     assert len(seen) == 4
+
+
+def test_fused_boc_kernel_closed_loop_and_parity():
+    """Production fused BOC double-estimator kernel (per-channel code tap
+    table + shared meandr tap table in HBM, one row DMA of each per
+    block): (a) closed loop from a real acquisition handoff — Doppler
+    locks to truth with full prompt power; (b) parity vs the exact
+    gather-mode scan BOC tracker where it is well-conditioned (identical
+    block geometry; first-blocks accumulators at the 1/64-chip row
+    quantization level — an unlocked BOC loop is chaotic, so long-horizon
+    trajectory equality is not a meaningful check)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnsstpu.ops import nco
+    from gnsstpu.runtime.sources import SimSource
+    from gnsstpu.tracking.boc import (BocTrackState, boc_fused_tables,
+                                      make_boc_tracker,
+                                      make_fused_boc_tracker)
+
+    prn = 11
+    rng = np.random.default_rng(9)
+    syms = rng.choice([-1.0, 1.0], 400).astype(np.float64)
+    sat = SatParams(prn=prn, doppler_hz=1234.0, code_phase_chips=3210.5,
+                    cn0_dbhz=48.0, nav_bits=syms)
+    sim = IFSimulator(SIG, [sat], noise_sigma=1.0, seed=4)
+    n_blocks = 300
+    src = SimSource(sim, int((n_blocks + 6) * SIG.code_period_ms))
+
+    acq = AcqConfig(doppler_band=4e3, coherent_ms=1, threshold=2.2,
+                    doppler_step=75.0, prn_list=(prn,))
+    res = acquire(src.read(0, acq_samples_needed(SIG, acq)), SIG, acq)
+    assert prn in res.detected_prns()
+    cp = int(res.code_phase[prn - 1])
+    dopp0 = float(res.carr_freq[prn - 1])
+
+    trk = TrackConfig(dll_bw=1.0, el_spacing=0.25, pll_bw=15.0,
+                      fll_bw=50.0, sll_bw=0.5, sll_spacing=0.25,
+                      aid_div=1540.0)
+    cb = jnp.asarray(np.array(
+        [nco.freq_to_step_u32(SIG.if_freq, SIG.fs)], np.uint32))
+    ctab, stab, _, _ = boc_fused_tables(SIG, trk, [prn])
+    ctab, stab = jnp.asarray(ctab), jnp.asarray(stab)
+    spc = SIG.samples_per_code
+
+    # (a) closed loop, chunked like the production driver.
+    CH = 100
+    fused = make_fused_boc_tracker(SIG, trk, n_blocks=CH, interpret=True)
+    state = jax.tree.map(jnp.asarray, BocTrackState.init(
+        np.array([cp]), np.array([dopp0], np.float32)))
+    abs_pos = float(cp)
+    dopps, ipps = [], []
+    for _ in range(n_blocks // CH):
+        s0 = int(abs_pos)
+        chunk = jnp.asarray(src.read(s0, CH * spc + spc + 64))
+        state = state._replace(corr=state.corr._replace(
+            sample_pos=jnp.asarray([int(round(abs_pos - s0))], jnp.int32)))
+        state, out = fused(chunk, ctab, stab, cb, state)
+        blk = np.asarray(out.acc.blksize)[:, 0].astype(np.float64)
+        abs_pos = s0 + int(round(abs_pos - s0)) + blk.sum()
+        dopps.append(np.asarray(out.carr_doppler)[:, 0])
+        ipps.append(np.asarray(out.acc.i_pp)[:, 0])
+    d = np.concatenate(dopps)
+    ip = np.concatenate(ipps)
+    assert abs(d[-50:].mean() - sat.doppler_hz) < 2.0
+    assert np.abs(ip[-50:]).mean() > 0.08 * spc   # full prompt power
+
+    # (b) parity vs the exact scan engine on the same handoff.
+    def pad(c):
+        return np.concatenate([c[-1:], c, c[:1]]).astype(np.float32)
+
+    from gnsstpu.signals import galileo_e1
+    codes = jnp.asarray(pad(galileo_e1.primary_code(prn))[None])
+    sub = jnp.asarray(pad(galileo_e1.subcarrier()))
+    nb = 20
+    chunk = jnp.asarray(src.read(cp, nb * spc + spc + 64))
+    st0 = jax.tree.map(jnp.asarray, BocTrackState.init(
+        np.array([0]), np.array([dopp0], np.float32)))
+    rs, ro = make_boc_tracker(SIG, trk, n_blocks=nb)(
+        chunk, codes, sub, cb, st0)
+    pf = make_fused_boc_tracker(SIG, trk, n_blocks=nb, interpret=True)
+    gs, go = pf(chunk, ctab, stab, cb, st0)
+    np.testing.assert_array_equal(np.asarray(go.acc.blksize),
+                                  np.asarray(ro.acc.blksize))
+    np.testing.assert_array_equal(np.asarray(gs.corr.sample_pos),
+                                  np.asarray(rs.corr.sample_pos))
+    # Prompt taps at the few-percent level; off-prompt taps (E/L of a
+    # +-1 subcarrier at twice the chip rate) are the most sensitive to
+    # the 1/64-chip row grid, so they get a wider band.
+    for fld, tol in (("i_pp", 0.05), ("q_pp", 0.05),
+                     ("i_pe", 0.15), ("i_lp", 0.15)):
+        a = np.asarray(getattr(go.acc, fld))[:5]
+        b = np.asarray(getattr(ro.acc, fld))[:5]
+        assert np.max(np.abs(a - b)) < tol * max(np.abs(
+            np.asarray(getattr(ro.acc, fld))).max(), 1.0), fld

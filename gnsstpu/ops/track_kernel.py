@@ -624,7 +624,7 @@ def track_chunk_dual_fused(chunk_t, tab, pos0, finit, cinit, carrbase,
         grid=(nct, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_t (shared)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # tab (HBM, DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),    # tab (HBM, DMA'd)
             pl.BlockSpec((CT, NF), lambda t, b, *_: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CT, 1), lambda t, b, *_: (t, 0),
@@ -959,8 +959,8 @@ def track_chunk_boc_fused(chunk_t, ctab, stab, pos0, finit, cinit,
         grid=(nct, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_t
-            pl.BlockSpec(memory_space=pltpu.ANY),    # ctab (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # stab (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # ctab (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # stab (HBM)
             pl.BlockSpec((CT, NF), lambda t, b, *_: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CT, 1), lambda t, b, *_: (t, 0),

@@ -110,7 +110,7 @@ def bench_tracking(sig, trk, C, n_blocks, k_lo=2, k_hi=10, ct=16):
     return (n_blocks / 1000.0) / per_chunk
 
 
-def bench_acquisition(sig, k_lo=2, k_hi=8):
+def bench_acquisition(sig, k_lo=2, k_hi=8, fft_mode="auto"):
     """Full 32-PRN cold search: 14 kHz band / 500 Hz bins, 2 alternating
     1 ms coherent blocks (the reference acquisition defaults,
     GPS/L1/initSettings.sci + acquisition.sci:126-132)."""
@@ -148,7 +148,8 @@ def bench_acquisition(sig, k_lo=2, k_hi=8):
             maxes = []
             for i in range(K):
                 cube = fft_acquire.acquire_cube(
-                    wins[i], fd_re, fd_im, dopp, sig.fs, spc)
+                    wins[i], fd_re, fd_im, dopp, sig.fs, spc,
+                    fft_mode=fft_mode)
                 maxes.append(jnp.max(cube))
             return jnp.float32(0), jnp.stack(maxes)
         return ksearch
@@ -162,6 +163,7 @@ def bench_acquisition(sig, k_lo=2, k_hi=8):
         "cells_per_s": round(cells / per_search),
         "grid": [int(n_prn), int(n_dopp), int(spc)],
         "searches_per_s": round(1.0 / per_search, 1),
+        "fft_mode": fft_mode,
     }
 
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnsstpu.ops import code_tables
-from gnsstpu.ops.fftsc import fft_sc
+from gnsstpu.ops.fftsc import fft_sc, fft_sc_mm
 
 
 def next_pow2(n: int) -> int:
@@ -72,7 +72,7 @@ def code_fd_table(signal: str, fs: float, code_freq: float, code_length: int,
 
 @functools.partial(
     jax.jit, static_argnames=("fs", "samples_per_code", "combine",
-                              "prn_chunk")
+                              "prn_chunk", "fft_mode")
 )
 def acquire_cube(
     blocks_iq: jax.Array,
@@ -83,7 +83,8 @@ def acquire_cube(
     samples_per_code: int,
     *,
     combine: str = "max",
-    prn_chunk: int = 8,
+    prn_chunk: int = 0,
+    fft_mode: str = "auto",
 ) -> jax.Array:
     """Correlation power cube over (PRN, Doppler, code phase).
 
@@ -97,12 +98,29 @@ def acquire_cube(
       samples_per_code: lags to keep (static).
       combine: 'max' (alternating-block dodge, acquisition.sci:126-132)
         or 'sum' (noncoherent accumulation, acquisition.cpp:433).
+      fft_mode: 'stockham' (exact VPU path), 'mm' / 'mm_bf16' (four-step
+        MXU matmul DFT, fftsc.fft_sc_mm; bf16 operands at full MXU rate),
+        or 'auto' = mm_bf16 on a TPU backend, stockham elsewhere.
+      prn_chunk: PRNs per lax.map step; 0 = per-mode VMEM sweet spot
+        measured on v5e (BENCH_NOTES.md §2): 2 for the matmul modes,
+        8 for Stockham.
 
     Returns f32 [P, D, samples_per_code] correlation power.
     """
     B, Lw, _ = blocks_iq.shape
     P, npad = code_fd_re.shape
     spc = samples_per_code
+
+    if fft_mode == "auto":
+        fft_mode = ("mm_bf16" if jax.default_backend() == "tpu"
+                    else "stockham")
+    if fft_mode == "stockham":
+        _fft = fft_sc
+        prn_chunk = prn_chunk or 8
+    else:
+        dt = jnp.bfloat16 if fft_mode == "mm_bf16" else None
+        _fft = functools.partial(fft_sc_mm, dtype=dt)
+        prn_chunk = prn_chunk or 2
 
     t = jnp.arange(Lw, dtype=jnp.float32) * jnp.float32(1.0 / fs)
     ang = (2.0 * jnp.pi) * doppler_hz[:, None] * t[None, :]     # [D, Lw]
@@ -113,14 +131,14 @@ def acquire_cube(
     wr = xr * lo_c + xi * lo_s                                   # [B, D, Lw]
     wi = xi * lo_c - xr * lo_s
     pad = ((0, 0), (0, 0), (0, npad - Lw))
-    fr, fi = fft_sc(jnp.pad(wr, pad), jnp.pad(wi, pad))          # [B, D, Npad]
+    fr, fi = _fft(jnp.pad(wr, pad), jnp.pad(wi, pad))            # [B, D, Npad]
 
     def one_chunk(code_chunk):
         cr, ci = code_chunk                                      # [c, Npad]
         # (f * code_fd) with code_fd already conjugated.
         pr = fr[:, :, None, :] * cr[None, None] - fi[:, :, None, :] * ci[None, None]
         pi = fr[:, :, None, :] * ci[None, None] + fi[:, :, None, :] * cr[None, None]
-        br, bi = fft_sc(pr, pi, inverse=True)                    # [B, D, c, Npad]
+        br, bi = _fft(pr, pi, inverse=True)                      # [B, D, c, Npad]
         power = (br * br + bi * bi)[..., :spc]
         if combine == "sum":
             return jnp.sum(power, axis=0)

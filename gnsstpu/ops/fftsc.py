@@ -15,7 +15,7 @@ built-in fft used by acquisition.sci.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -70,3 +70,84 @@ def fft_sc(re: jnp.ndarray, im: jnp.ndarray, inverse: bool = False
         scale = jnp.float32(1.0 / n)
         return xr * scale, xi * scale
     return xr, xi
+
+
+# ---------------------------------------------------------------------------
+# Four-step (Bailey) DFT as two batched matmuls — the MXU formulation.
+#
+# The Stockham path above is pure VPU work (butterflies + lane shuffles);
+# on a TPU the FLOP majority of the chip sits idle while it runs. Writing
+# the length-N DFT as an (n1 x n2) decomposition turns it into two dense
+# [.., n] @ [n, n] products plus one elementwise twiddle, which XLA maps
+# straight onto the systolic array:
+#
+#   x[a, b] = x_lin[a*n2 + b]
+#   A[b, c] = sum_a x[a, b] * F1[a, c],        F1[a, c] = w_n1^(a c)
+#   B[b, c] = A[b, c] * T[b, c],               T[b, c]  = w_N^(b c)
+#   X[c, d] = sum_b B[b, c] * F2[b, d],        F2[b, d] = w_n2^(b d)
+#   X_lin[c + n1*d] = X[c, d]   (flatten [d, c] row-major)
+#
+# ~17x more FLOPs than Stockham at N=4096, but they run at MXU rate
+# instead of VPU rate. `dtype=bfloat16` runs the matmul operands in bf16
+# with f32 accumulation — acquisition's peak/second-peak detection metric
+# tolerates the ~0.5% spectrum error with margin (BENCH_NOTES.md §2).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _mm_consts(n: int, inverse: bool):
+    """DFT factor matrices for the four-step decomposition of length n."""
+    if n & (n - 1) or n < 4:
+        raise ValueError(f"length {n} not a power of 2 (>= 4)")
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    sgn = 1.0 if inverse else -1.0
+
+    def dft(rows, cols, denom):
+        ang = sgn * 2.0 * np.pi * np.outer(np.arange(rows),
+                                           np.arange(cols)) / denom
+        return (np.cos(ang).astype(np.float32),
+                np.sin(ang).astype(np.float32))
+
+    f1 = dft(n1, n1, n1)          # F1[a, c]
+    t = dft(n2, n1, n)            # T[b, c]
+    f2 = dft(n2, n2, n2)          # F2[b, d]
+    return n1, n2, f1, t, f2
+
+
+def fft_sc_mm(re: jnp.ndarray, im: jnp.ndarray, inverse: bool = False,
+              dtype: Optional[jnp.dtype] = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Four-step DFT over the last axis via two MXU matmuls.
+
+    Same contract as fft_sc (power-of-2 length, natural order, 1/n scale
+    on the inverse). dtype: optional matmul operand dtype (bfloat16 for
+    full MXU rate); accumulation is always float32.
+    """
+    n = re.shape[-1]
+    n1, n2, (f1r, f1i), (tr, ti), (f2r, f2i) = _mm_consts(n, inverse)
+    batch = re.shape[:-1]
+
+    def mm(a, b):
+        if dtype is not None:
+            a, b = a.astype(dtype), jnp.asarray(b, dtype)
+        else:
+            b = jnp.asarray(b)
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+    # [..., a, b] -> [..., b, a]: contraction dim innermost for the MXU.
+    xr = re.reshape(*batch, n1, n2).swapaxes(-1, -2)
+    xi = im.reshape(*batch, n1, n2).swapaxes(-1, -2)
+    ar = mm(xr, f1r) - mm(xi, f1i)                   # [..., b, c]
+    ai = mm(xi, f1r) + mm(xr, f1i)
+    br = ar * tr - ai * ti
+    bi = ai * tr + ar * ti
+    br, bi = br.swapaxes(-1, -2), bi.swapaxes(-1, -2)  # [..., c, b]
+    yr = mm(br, f2r) - mm(bi, f2i)                   # [..., c, d]
+    yi = mm(bi, f2r) + mm(br, f2i)
+    yr = yr.swapaxes(-1, -2).reshape(*batch, n)      # k = c + n1*d
+    yi = yi.swapaxes(-1, -2).reshape(*batch, n)
+    if inverse:
+        scale = jnp.float32(1.0 / n)
+        return yr * scale, yi * scale
+    return yr, yi

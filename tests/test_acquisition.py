@@ -138,3 +138,40 @@ def test_fine_doppler_refinement():
     # Coarse handoff off by 117 Hz (half a 250 Hz bin + change).
     fine = refine_doppler(samples, SIG, 22, 0, 1843.0 - 117.0, k_ms=12)
     assert abs(fine - 1843.0) < 5.0
+
+
+def test_mm_fft_modes_match_stockham(sim_signal):
+    """The MXU matmul-DFT acquisition path (fft_mode='mm'/'mm_bf16') must
+    reproduce the exact Stockham path at the detection level: same peak
+    cell for present PRNs, metrics within the bf16 spectrum error."""
+    import jax.numpy as jnp
+
+    from gnsstpu.acquisition.search import _stack_windows
+    from gnsstpu.ops import fft_acquire
+
+    sim, samples = sim_signal
+    spc = SIG.samples_per_code
+    blocks, _combine = _stack_windows(np.asarray(samples), spc, ACQ)
+    fd_re, fd_im = fft_acquire.code_fd_table(
+        SIG.signal, SIG.fs, SIG.code_freq, SIG.code_length,
+        ACQ.coherent_ms)
+    dopp = jnp.asarray(
+        fft_acquire.doppler_grid(SIG.if_freq, ACQ.doppler_band,
+                                 ACQ.doppler_bin_step()), jnp.float32)
+    args = (jnp.asarray(blocks), jnp.asarray(fd_re), jnp.asarray(fd_im),
+            dopp, SIG.fs, spc)
+    spchip = int(round(SIG.fs / SIG.code_freq))
+
+    def metrics(mode):
+        cube = fft_acquire.acquire_cube(*args, fft_mode=mode)
+        return fft_acquire.peak_metrics(cube, samples_per_code=spc,
+                                        samples_per_chip=spchip)
+    ref = metrics("stockham")
+    for mode, rtol in (("mm", 1e-4), ("mm_bf16", 0.05)):
+        got = metrics(mode)
+        for s in sim.sats:
+            i = s.prn - 1
+            assert int(got["code_phase"][i]) == int(ref["code_phase"][i])
+            assert int(got["doppler_bin"][i]) == int(ref["doppler_bin"][i])
+            assert float(got["metric"][i]) == pytest.approx(
+                float(ref["metric"][i]), rel=rtol)

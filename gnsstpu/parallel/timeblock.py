@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gnsstpu.config import SignalConfig
 from gnsstpu.ops import code_tables
 from gnsstpu.ops.fft_acquire import next_pow2
-from gnsstpu.ops.fftsc import fft_sc
+from gnsstpu.ops.fftsc import fft_sc, fft_sc_mm
 
 
 def long_coherent_acquire(
@@ -46,6 +46,7 @@ def long_coherent_acquire(
     *,
     k_periods: int,
     axis: str = "time",
+    fft_mode: str = "auto",
 ) -> jax.Array:
     """Coherent K-code-period correlation power, time-sharded.
 
@@ -96,6 +97,17 @@ def long_coherent_acquire(
     inv_fs = 1.0 / sig.fs
     two_pi = 2.0 * np.pi
 
+    # Same FFT-mode contract as ops.fft_acquire.acquire_cube: the MXU
+    # matmul DFT on TPU backends, the exact Stockham path elsewhere.
+    if fft_mode == "auto":
+        fft_mode = ("mm_bf16" if jax.default_backend() == "tpu"
+                    else "stockham")
+    if fft_mode == "stockham":
+        _fft = fft_sc
+    else:
+        _dt = jnp.bfloat16 if fft_mode == "mm_bf16" else None
+        _fft = functools.partial(fft_sc_mm, dtype=_dt)
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis, None, None), P(), P(), P(), P()),
@@ -125,12 +137,12 @@ def long_coherent_acquire(
         wr = xr * lo_c + xi * lo_s                     # [D, Lb+spc]
         wi = xi * lo_c - xr * lo_s
         pad = ((0, 0), (0, npad - (lb + spc)))
-        frr, fii = fft_sc(jnp.pad(wr, pad), jnp.pad(wi, pad))
+        frr, fii = _fft(jnp.pad(wr, pad), jnp.pad(wi, pad))
 
         # Multiply with conj replica rows, IFFT, keep lags [0, spc).
         pr = frr[None] * fd_re[:, None] - fii[None] * fd_im[:, None]
         pi = frr[None] * fd_im[:, None] + fii[None] * fd_re[:, None]
-        br, bi = fft_sc(pr, pi, inverse=True)          # [P, D, npad]
+        br, bi = _fft(pr, pi, inverse=True)           # [P, D, npad]
         cr, ci = br[..., :spc], bi[..., :spc]
         # Coherent combine across time blocks BEFORE forming power.
         cr = jax.lax.psum(cr, axis)

@@ -184,3 +184,26 @@ def test_sharded_fused_tracking_matches_single_device(sim_samples):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(ref_state), jax.tree.leaves(got_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_timeblock_mm_fft_mode_matches_oracle():
+    """The MXU matmul-DFT mode must run under shard_map (psum/ppermute
+    around batched dots) and stay within f32 matmul error of the oracle."""
+    from gnsstpu.parallel.mesh import make_mesh
+    from gnsstpu.parallel.timeblock import (long_coherent_acquire,
+                                            reference_coherent_power)
+
+    sig = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+    sat = SatParams(prn=3, doppler_hz=100.0, code_phase_chips=412.5,
+                    cn0_dbhz=50.0)
+    sim = IFSimulator(sig, [sat], noise_sigma=0.2, seed=23)
+    k = 8
+    samples = sim.generate(k + 2)
+    want = reference_coherent_power(samples, sig, [3, 9],
+                                    np.array([-150.0, 100.0, 350.0]), k)
+    mesh = make_mesh([("time", 4)])
+    cube = np.asarray(long_coherent_acquire(
+        samples, sig, [3, 9], np.array([-150.0, 100.0, 350.0]), mesh,
+        k_periods=k, fft_mode="mm"))
+    scale = want.max()
+    assert np.allclose(cube / scale, want / scale, atol=2e-3)

@@ -110,7 +110,7 @@ def bench_tracking(sig, trk, C, n_blocks, k_lo=2, k_hi=10, ct=16):
     return (n_blocks / 1000.0) / per_chunk
 
 
-def bench_acquisition(sig, k_lo=2, k_hi=8, fft_mode="auto"):
+def bench_acquisition(sig, k_lo=4, k_hi=24, fft_mode="auto"):
     """Full 32-PRN cold search: 14 kHz band / 500 Hz bins, 2 alternating
     1 ms coherent blocks (the reference acquisition defaults,
     GPS/L1/initSettings.sci + acquisition.sci:126-132)."""

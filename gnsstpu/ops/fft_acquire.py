@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnsstpu.ops import code_tables
-from gnsstpu.ops.fftsc import fft_sc, fft_sc_mm
+from gnsstpu.ops.fftsc import fft_sc, fft_sc_mm, resolve_fft_mode
 
 
 def next_pow2(n: int) -> int:
@@ -111,9 +111,7 @@ def acquire_cube(
     P, npad = code_fd_re.shape
     spc = samples_per_code
 
-    if fft_mode == "auto":
-        fft_mode = ("mm_bf16" if jax.default_backend() == "tpu"
-                    else "stockham")
+    fft_mode = resolve_fft_mode(fft_mode)
     if fft_mode == "stockham":
         _fft = fft_sc
         prn_chunk = prn_chunk or 8

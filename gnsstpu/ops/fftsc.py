@@ -17,8 +17,28 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+#: The valid fft_mode strings shared by every FFT-mode consumer
+#: (ops.fft_acquire.acquire_cube, parallel.timeblock.long_coherent_acquire).
+FFT_MODES = ("auto", "stockham", "mm", "mm_bf16")
+
+
+def resolve_fft_mode(fft_mode: str, *, auto_tpu: str = "mm_bf16") -> str:
+    """Validate an fft_mode string and resolve 'auto' for this backend.
+
+    auto_tpu: what 'auto' means on a TPU backend ('mm_bf16' for the cold
+    search, 'mm' f32 where bf16 sensitivity is untested — e.g. weak-signal
+    long coherent integration). Off-TPU 'auto' is always 'stockham'.
+    """
+    if fft_mode not in FFT_MODES:
+        raise ValueError(
+            f"fft_mode {fft_mode!r} not in {FFT_MODES}")
+    if fft_mode == "auto":
+        return auto_tpu if jax.default_backend() == "tpu" else "stockham"
+    return fft_mode
 
 
 @functools.lru_cache(maxsize=None)
@@ -131,9 +151,13 @@ def fft_sc_mm(re: jnp.ndarray, im: jnp.ndarray, inverse: bool = False,
     def mm(a, b):
         if dtype is not None:
             a, b = a.astype(dtype), jnp.asarray(b, dtype)
-        else:
-            b = jnp.asarray(b)
-        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+            return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        # dtype=None is the documented exact-f32 fallback; TPU default
+        # matmul precision would demote the operands to bf16 passes, so
+        # force full-f32 MXU passes here.
+        return jnp.matmul(a, jnp.asarray(b),
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     # [..., a, b] -> [..., b, a]: contraction dim innermost for the MXU.
     xr = re.reshape(*batch, n1, n2).swapaxes(-1, -2)

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gnsstpu.config import SignalConfig
 from gnsstpu.ops import code_tables
 from gnsstpu.ops.fft_acquire import next_pow2
-from gnsstpu.ops.fftsc import fft_sc, fft_sc_mm
+from gnsstpu.ops.fftsc import fft_sc, fft_sc_mm, resolve_fft_mode
 
 
 def long_coherent_acquire(
@@ -97,11 +97,12 @@ def long_coherent_acquire(
     inv_fs = 1.0 / sig.fs
     two_pi = 2.0 * np.pi
 
-    # Same FFT-mode contract as ops.fft_acquire.acquire_cube: the MXU
-    # matmul DFT on TPU backends, the exact Stockham path elsewhere.
-    if fft_mode == "auto":
-        fft_mode = ("mm_bf16" if jax.default_backend() == "tpu"
-                    else "stockham")
+    # Same FFT-mode contract as ops.fft_acquire.acquire_cube, except
+    # 'auto' on TPU picks the exact-f32 matmul DFT: long coherent
+    # integration exists for weak signals, where the cold-search bf16
+    # detection-margin argument (BENCH_NOTES.md §2) has not been
+    # validated; 'mm_bf16' remains an explicit opt-in.
+    fft_mode = resolve_fft_mode(fft_mode, auto_tpu="mm")
     if fft_mode == "stockham":
         _fft = fft_sc
     else:

@@ -175,3 +175,14 @@ def test_mm_fft_modes_match_stockham(sim_signal):
             assert int(got["doppler_bin"][i]) == int(ref["doppler_bin"][i])
             assert float(got["metric"][i]) == pytest.approx(
                 float(ref["metric"][i]), rel=rtol)
+
+
+def test_invalid_fft_mode_raises():
+    """Typo'd fft_mode strings must raise, not silently pick a path."""
+    from gnsstpu.ops.fftsc import resolve_fft_mode
+
+    with pytest.raises(ValueError, match="fft_mode"):
+        resolve_fft_mode("stockam")
+    assert resolve_fft_mode("mm") == "mm"
+    # Off-TPU (test backend is CPU) auto is always the exact path.
+    assert resolve_fft_mode("auto") == "stockham"

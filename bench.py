@@ -167,17 +167,22 @@ def bench_acquisition(sig, k_lo=4, k_hi=24, fft_mode="auto"):
     }
 
 
-def bench_manager(sig, seconds=6, n_channels=12, epoch_ms=500):
-    """Sustained end-to-end: ChannelManager (production fused engine on
-    TPU) over a pre-generated signal — includes host feed, per-epoch
-    readback, lock supervision, telemetry. On this rig each epoch pays
-    the tunnel RTT, so this is a lower bound for on-host deployment."""
+def bench_manager(sig, seconds=12, n_channels=12, epoch_ms=500,
+                  sync_every=4, wire="sm2", reacq_period_ms=1000):
+    """Sustained end-to-end: the pipelined ChannelManager (production
+    fused engine, superepoch batching, 2-bit GN3S-format wire with
+    device-side unpack) over a pre-generated signal — includes host
+    feed, sample upload, lock supervision, telemetry, live
+    reacquisition searches (the PRN pool holds one absent SV, so every
+    reacq period runs a REAL full cold search riding the superepoch's
+    device chunk). Wall-clock through the tunnel."""
     import io
 
     import jax
 
     from gnsstpu.config import AcqConfig, ReceiverConfig, TrackConfig
     from gnsstpu.runtime.manager import ChannelManager
+    from gnsstpu.runtime.sources import PackedArraySource
     from gnsstpu.runtime.telemetry import Telemetry
     from gnsstpu.sim import IFSimulator, SatParams
 
@@ -189,37 +194,39 @@ def bench_manager(sig, seconds=6, n_channels=12, epoch_ms=500):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=3)
-        # int8 front-end feed (the manager casts to f32 on device) —
-        # matches a real radio's wire format and host->device traffic.
-        buf = np.clip(np.asarray(sim.generate(n_ms + 400)) * 24.0,
-                      -127, 127).astype(np.int8)
-
-    class ArraySource:
-        def read(self, start, count):
-            out = np.zeros((count, 2), np.int8)
-            seg = buf[start: start + count]
-            out[: len(seg)] = seg
-            return out
+        buf = np.asarray(sim.generate(n_ms + 800))
+    # 2-bit sign/mag wire (the GN3S front-end format,
+    # gps_source.cpp:692): 0.5 B per complex sample on the host->device
+    # link, unpacked on device.
+    src = PackedArraySource(buf, fmt=wire, scale=1.0)
 
     cfg = ReceiverConfig(
         signal=sig,
         acq=AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.4,
-                      prn_list=tuple(prns)),
+                      prn_list=tuple(prns) + (n_channels + 2,)),
         track=TrackConfig(dll_bw=1.0, el_spacing=0.3),
         n_channels=n_channels)
-    mgr = ChannelManager(ArraySource(), cfg, telemetry=Telemetry(
-        sink=io.StringIO()), epoch_ms=epoch_ms, reacq_period_ms=10 ** 9)
-    mgr.run(2 * epoch_ms)                 # warmup: acquire + compile
+    warm_ms = 2 * sync_every * epoch_ms
+    mgr = ChannelManager(
+        src, cfg, telemetry=Telemetry(sink=io.StringIO()),
+        epoch_ms=epoch_ms, reacq_period_ms=reacq_period_ms,
+        sync_every=sync_every,
+        prn_pool=prns + [n_channels + 2])   # one absent SV: reacq runs
+    mgr.run(warm_ms)                 # warmup: acquire + compile
     t0 = time.perf_counter()
-    recs = mgr.run(n_ms - 2 * epoch_ms)
+    recs = mgr.run(n_ms - warm_ms)
     wall = time.perf_counter() - t0
     live = int(sum(1 for p in recs[-1].prn if p)) if recs else 0
     return {
-        "realtime_factor": round((n_ms - 2 * epoch_ms) / 1000.0 / wall, 2),
+        "realtime_factor": round((n_ms - warm_ms) / 1000.0 / wall, 2),
         "live_channels_at_end": live,
         "engine": mgr.engine,
         "epoch_ms": epoch_ms,
-        "note": "wall-clock incl. host feed + per-epoch tunnel RTT",
+        "sync_every": sync_every,
+        "wire": wire,
+        "reacq_period_ms": reacq_period_ms,
+        "note": "wall-clock incl. host feed, packed upload, live reacq "
+                "searches, per-superepoch readback (tunnel rig)",
     }
 
 
@@ -237,7 +244,15 @@ def main():
             bench_tracking(sig, trk, C=C, n_blocks=500, k_lo=1, k_hi=5), 1)
     scaling["12"] = round(headline, 1)
 
+    # VERDICT r2 item 3: record the explicit matmul-DFT and Stockham
+    # numbers alongside the auto default, so the artifact pins which
+    # mode 'auto' engaged and what each path measures on this chip.
     acq = bench_acquisition(sig)
+    acq_modes = {}
+    for mode in ("mm_bf16", "stockham"):
+        m = bench_acquisition(sig, fft_mode=mode)
+        acq_modes[mode] = {"search_ms": m["search_ms"],
+                          "cells_per_s": m["cells_per_s"]}
     mgr = bench_manager(sig)
 
     print(json.dumps({
@@ -250,6 +265,7 @@ def main():
                       "(device throughput; excludes per-call tunnel RTT)",
             "tracking_scaling_channels_rt": scaling,
             "acquisition_32prn_cold_search": acq,
+            "acquisition_by_fft_mode": acq_modes,
             "manager_end_to_end": mgr,
         },
     }))

@@ -16,6 +16,18 @@ scan program, vmapped over slots — slot count never changes, so nothing
 recompiles); the manager runs on the host at epoch boundaries (default
 100 ms), where it reads back prompt statistics, assesses lock
 (tracking.lock), swaps PRNs in and out of slots, and emits telemetry.
+
+Pipelined superepochs (sync_every > 1): where the reference hides its
+host/device latency with 10 threads and a 4000-deep FIFO
+(objects/fifo.cpp), this manager hides it by BATCHING — one superepoch =
+one wire-format sample upload + sync_every chained async tracker
+dispatches (+ an acquisition search on the same device chunk when due) +
+ONE bulk readback. The device never waits on the host inside a
+superepoch; supervision decisions run on results that are up to
+sync_every epochs stale (the reference's channels likewise act on
+delayed measurements, objects/correlator.cpp:263 3-deep buffer). Lock
+statistics are computed on device (tracking.lock.assess_device) so the
+steady-state readback is the prompt streams + bookkeeping only.
 """
 
 from __future__ import annotations
@@ -71,7 +83,16 @@ class EpochRecord:
 
 
 class ChannelManager:
-    """Supervises a fixed bank of tracking slots over a sample source."""
+    """Supervises a fixed bank of tracking slots over a sample source.
+
+    sync_every: supervision epochs per device round-trip (superepoch).
+      1 = classic lockstep loop; >1 = pipelined mode with device-side
+      lock assessment and decisions stale by up to sync_every epochs.
+    wire: host->device sample wire format — 'auto' uses
+      source.wire_format when the source provides read_packed()
+      (ops.unpack formats: 'iq8'/'iq4'/'sm2'/'iq1'), else the plain
+      float/int array path.
+    """
 
     def __init__(self, source, cfg: ReceiverConfig,
                  telemetry: Optional[Telemetry] = None,
@@ -81,7 +102,8 @@ class ChannelManager:
                  prn_pool: Optional[List[int]] = None,
                  stall_timeout_s: float = 30.0,
                  confirm_epochs: int = 3, confirm_m: int = 2,
-                 commands=None, engine: str = "auto", navigator=None):
+                 commands=None, engine: str = "auto", navigator=None,
+                 sync_every: int = 1, wire: str = "auto"):
         self.source = source
         self.cfg = cfg
         self.sig = cfg.signal
@@ -100,7 +122,13 @@ class ChannelManager:
         # OnlineNavigator (runtime/navigator.py): live ephemeris decode +
         # PVT at epoch boundaries (the reference's Ephemeris+PVT threads).
         self.navigator = navigator
+        self.sync_every = max(1, int(sync_every))
         self._stop = False
+
+        if wire == "auto":
+            wire = (getattr(source, "wire_format", None)
+                    if hasattr(source, "read_packed") else None)
+        self.wire = wire                       # None = plain array reads
 
         C = cfg.n_channels
         self.slots = [Slot() for _ in range(C)]
@@ -142,9 +170,37 @@ class ChannelManager:
         self._cursor = 0                           # epoch base sample
         self._next_reacq_ms = 0
         self._drift_margin = 64 + int(np.ceil(
-            epoch_ms * 1e-3 * 2e-5 * self.sig.fs))
+            self.sync_every * epoch_ms * 1e-3 * 2e-5 * self.sig.fs))
         self.records: List[EpochRecord] = []
         self.history: Dict[int, dict] = {}         # prn -> prompt streams
+        self._summarize = self._make_summarize()
+        self._unpack_jit = None
+        if self.wire is not None:
+            from gnsstpu.ops import unpack as _unpack
+            self._unpack_jit = jax.jit(
+                lambda p: _unpack.unpack(p, self.wire))
+        self._acq_chunk_fn = None   # lazy jitted on-chunk acq program
+        # Fixed superepoch chunk / per-epoch window geometry: one
+        # compiled tracker program regardless of sync_every or tail
+        # length. The tracker sees only its epoch's window (the fused
+        # kernel keeps the window VMEM-resident); between chained calls
+        # sample_pos is rebased one epoch on device.
+        espc = epoch_ms * spc
+        self._win_len = espc + spc + self._drift_margin + 2
+        self._chunk_len = (self.sync_every - 1) * espc + self._win_len
+        if self.wire is not None:
+            from gnsstpu.ops.unpack import align
+            self._chunk_len += (-self._chunk_len) % align(self.wire)
+        tracker = self._tracker
+
+        @jax.jit
+        def step_epoch(win, codes, consts, state):
+            state, out = tracker(win, codes, consts, state)
+            state = state._replace(corr=state.corr._replace(
+                sample_pos=state.corr.sample_pos - espc))
+            return state, out
+
+        self._step_epoch = step_epoch
 
     # --- slot control ---
 
@@ -158,11 +214,14 @@ class ChannelManager:
         s.confirm_good = 0
         s.confirm_seen = 0
         s.started_ms = epoch_ms
-        self._codes[slot_idx] = (self._fused_tab[prn - 1]
-                                 if self.engine == "fused"
-                                 else self._padded[prn - 1])
-        self._codes_dev = None
-        self._consts_dev = None
+        row = (self._fused_tab[prn - 1] if self.engine == "fused"
+               else self._padded[prn - 1])
+        self._codes[slot_idx] = row
+        if self._codes_dev is not None:
+            # In-place device row update: ships one PRN's rows with the
+            # dispatch instead of re-uploading the whole [C] table.
+            self._codes_dev = self._codes_dev.at[slot_idx].set(
+                np.asarray(row, np.float32))
         # FDMA: this slot's carrier base and aid divisor follow the PRN's
         # frequency channel (reference GLONASS/L1/initSettings.sci
         # L1_IF_step).
@@ -174,6 +233,7 @@ class ChannelManager:
                                         if_offsets_hz=[off])
         self._carr_base[slot_idx] = cb1[0]
         self._inv_aid[slot_idx] = ia1[0]
+        self._consts_dev = None
         # sample_pos is rewritten (chunk-relative) every epoch; init 0.
         z = tscan.TrackState.init(
             np.zeros(1, np.int64),
@@ -203,9 +263,29 @@ class ChannelManager:
     def _tracked_prns(self) -> set:
         return {s.prn for s in self.slots if s.state is not SlotState.IDLE}
 
+    # --- sample reads (wire-format aware) ---
+
+    def _read_chunk(self, start: int, count: int):
+        """(host_buffer, n_lead_for_eod_check). Packed wire sources
+        return raw bytes; others float/int [count, 2]."""
+        if self.wire is not None:
+            return self.source.read_packed(start, count)
+        return self.source.read(start, count)
+
+    def _to_device(self, buf) -> jax.Array:
+        """Upload + decode to f32 [N, 2] on device (unpack jit-deferred)."""
+        if self.wire is not None:
+            return self._unpack_jit(jax.device_put(np.asarray(buf)))
+        chunk_dev = jnp.asarray(buf)
+        if chunk_dev.dtype != jnp.float32:
+            chunk_dev = chunk_dev.astype(jnp.float32)
+        return chunk_dev
+
     # --- acquisition scheduling (SV_Select::Acquire equivalent) ---
 
     def _try_acquire(self, epoch_ms: int) -> None:
+        """Host-path acquisition: reads its own sample window (used when
+        nothing is tracking yet, or for FDMA signals)."""
         idle = [i for i, s in enumerate(self.slots)
                 if s.state is SlotState.IDLE]
         want = [p for p in self.pool if p not in self._tracked_prns()]
@@ -222,10 +302,16 @@ class ChannelManager:
             res = acquire_fdma(samples, self.sig, acq_cfg)
         else:
             res = acquire(samples, self.sig, acq_cfg)
+        self._place(res, idle, want, self._cursor, epoch_ms, fdma=fdma)
+
+    def _place(self, res, idle: list, want: list, base: int,
+               epoch_ms: int, fdma: bool) -> None:
+        """Allocate detected PRNs into idle slots (handoff to tracking)."""
         order = np.argsort(-res.peak_metric)
         for i in order:
             prn = int(i) + 1
-            if not res.detected[i] or prn in self._tracked_prns():
+            if (not res.detected[i] or prn not in want
+                    or prn in self._tracked_prns()):
                 continue
             if not idle:
                 break
@@ -235,142 +321,338 @@ class ChannelManager:
                 dopp -= (self.sd.carrier_freq(prn)
                          - self.sd.carrier_freq(self.sd.fdma_zero_prn))
             self._alloc(slot, prn,
-                        code_phase=self._cursor + int(res.code_phase[i]),
+                        code_phase=base + int(res.code_phase[i]),
                         doppler_hz=dopp, epoch_ms=epoch_ms)
+
+    def _make_acq_chunk_fn(self):
+        """Jitted cold-search over the leading window of an already
+        uploaded device chunk — the pipelined path's reacquisition rides
+        the superepoch's transfer instead of paying its own (CDMA only)."""
+        import functools
+
+        from gnsstpu.acquisition.search import _windows_of
+        from gnsstpu.ops import fft_acquire
+
+        acq = self.cfg.acq
+        sig = self.sig
+        spc = sig.samples_per_code
+        B, combine = _windows_of(acq)
+        L = acq.coherent_ms * spc
+        Lw = fft_acquire.window_len(spc, acq.coherent_ms)
+        fd_re, fd_im = fft_acquire.code_fd_table(
+            sig.signal, sig.fs, sig.code_freq, sig.code_length,
+            acq.coherent_ms)
+        dopp = fft_acquire.doppler_grid(
+            sig.if_freq, acq.doppler_band, acq.doppler_bin_step())
+        fd_re = jnp.asarray(fd_re)
+        fd_im = jnp.asarray(fd_im)
+        dopp_dev = jnp.asarray(dopp, jnp.float32)
+        spchip = round(sig.fs / sig.code_freq)
+
+        @jax.jit
+        def search(chunk):
+            blocks = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(chunk, k * L, Lw)
+                 for k in range(B)])
+            cube = fft_acquire.acquire_cube(
+                blocks, fd_re, fd_im, dopp_dev, sig.fs, spc,
+                combine=combine)
+            return fft_acquire.peak_metrics(
+                cube, samples_per_code=spc, samples_per_chip=spchip)
+
+        self._acq_doppler = dopp
+        return search
+
+    def _acq_samples_needed_chunk(self) -> int:
+        from gnsstpu.acquisition.search import _windows_of
+        from gnsstpu.ops import fft_acquire
+
+        B, _ = _windows_of(self.cfg.acq)
+        spc = self.sig.samples_per_code
+        return ((B - 1) * self.cfg.acq.coherent_ms * spc
+                + fft_acquire.window_len(spc, self.cfg.acq.coherent_ms))
+
+    def _finish_chunk_acq(self, metrics, want: list, base: int,
+                          epoch_ms: int) -> None:
+        """Apply an on-chunk acquisition's (already materialized) peak
+        metrics: threshold, fine Doppler (host window), slot placement."""
+        from gnsstpu.acquisition.search import AcqResults, refine_doppler
+
+        acq = self.cfg.acq
+        metric = np.asarray(metrics["metric"])
+        code_phase = np.asarray(metrics["code_phase"])
+        best_bin = np.asarray(metrics["doppler_bin"])
+        allowed = np.zeros(self.sd.num_prn, bool)
+        allowed[[p - 1 for p in want]] = True
+        detected = (metric > acq.threshold) & allowed
+        carr = self._acq_doppler[best_bin].astype(np.float64)
+        if acq.fine_doppler_ms > 0 and np.any(detected):
+            k_ms = acq.fine_doppler_ms
+            win = self.source.read(base, (k_ms + 1) * self.sig.
+                                   samples_per_code + 64)
+            for i in np.nonzero(detected)[0]:
+                carr[i] = refine_doppler(
+                    win, self.sig, int(i) + 1, int(code_phase[i]),
+                    carr[i], k_ms=k_ms)
+        # The search measured code phase in THIS superepoch's chunk, but
+        # the slot starts tracking in the NEXT one — advance the handoff
+        # by whole code periods to the stream head (the reference
+        # likewise starts channels at the next code boundary,
+        # objects/correlator.cpp InitCorrelator); code-Doppler slip over
+        # the skipped periods is << half a chip.
+        spc = self.sig.samples_per_code
+        abs_cp = base + code_phase.astype(np.int64)
+        adv = np.ceil((self._cursor - abs_cp) / spc).astype(np.int64)
+        abs_cp = abs_cp + np.maximum(adv, 0) * spc
+        res = AcqResults(peak_metric=metric, code_phase=abs_cp,
+                        carr_freq=carr, detected=detected)
+        idle = [i for i, s in enumerate(self.slots)
+                if s.state is SlotState.IDLE]
+        self._place(res, idle, want, base=0, epoch_ms=epoch_ms,
+                    fdma=False)
+
+    # --- device-side epoch summary (pipelined readback) ---
+
+    def _make_summarize(self):
+        m = min(20, self.epoch_ms)
+
+        @jax.jit
+        def summarize(out):
+            stats = tlock.assess_device(
+                out.ie, out.qe, out.ip, out.qp, out.il, out.ql,
+                t_int_s=self.sig.code_period_s,
+                cn0_drop_dbhz=self.cn0_drop, m=m)
+            return {
+                "ip": out.ip, "qp": out.qp,
+                "rem": out.rem_code_phase,
+                "blk": out.blksize,
+                "dopp": out.carr_doppler[-1],
+                "dopp_full": out.carr_doppler,
+                "stats": stats,
+            }
+
+        return summarize
 
     # --- main loop ---
 
     def run(self, n_ms: int) -> List[EpochRecord]:
-        spc = self.sig.samples_per_code
-        chunk_len = self.epoch_ms * spc + spc + self._drift_margin + 2
         n_epochs = n_ms // self.epoch_ms
-        last_progress = time.monotonic()
-
-        for e in range(n_epochs):
-            epoch_ms = e * self.epoch_ms
-            if self.commands is not None:
-                self._apply_commands(epoch_ms)
-            if self._stop:
-                self.tlm.event(epoch_ms, "commanded_stop")
+        self._last_progress = time.monotonic()
+        e = 0
+        while e < n_epochs:
+            k = min(self.sync_every, n_epochs - e)
+            advanced = self._run_superepoch(e, k)
+            if not advanced:
                 break
-            if epoch_ms >= self._next_reacq_ms:
-                t0 = time.perf_counter()
-                self._try_acquire(epoch_ms)
-                self.tlm.task_health(epoch_ms, "acquire",
-                                     time.perf_counter() - t0)
-                self._next_reacq_ms = epoch_ms + self.reacq_period_ms
+            e += k
+        return self.records
 
+    def _run_superepoch(self, e0: int, k: int) -> bool:
+        """Process k supervision epochs in one device round-trip.
+        Returns False to stop (end of data / commanded stop)."""
+        spc = self.sig.samples_per_code
+        epoch_ms0 = e0 * self.epoch_ms
+        if self.commands is not None:
+            self._apply_commands(epoch_ms0)
+        if self._stop:
+            self.tlm.event(epoch_ms0, "commanded_stop")
+            return False
+
+        # Host-path acquisition only when nothing tracks yet (no chunk
+        # to ride) or for FDMA; otherwise the search rides the chunk.
+        active = [i for i, s in enumerate(self.slots)
+                  if s.state is not SlotState.IDLE]
+        fdma = self.sd.fdma_zero_prn is not None
+        acq_due = epoch_ms0 >= self._next_reacq_ms
+        if acq_due and (not active or fdma):
+            t0 = time.perf_counter()
+            self._try_acquire(epoch_ms0)
+            self.tlm.task_health(epoch_ms0, "acquire",
+                                 time.perf_counter() - t0)
+            self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
+            acq_due = False
             active = [i for i, s in enumerate(self.slots)
                       if s.state is not SlotState.IDLE]
-            if not active:
-                # Nothing tracking: advance the cursor one epoch.
-                self._cursor += self.epoch_ms * spc
-                self._watchdog(last_progress)
+
+        if not active:
+            # Nothing tracking: advance the cursor k epochs.
+            self._cursor += k * self.epoch_ms * spc
+            self._watchdog()
+            return True
+
+        # Park idle slots at the epoch base so their sample_pos stays
+        # in range; rebase active slots.
+        base = int(min(self._abs_pos[i] for i in active))
+        if self.wire is not None:
+            from gnsstpu.ops.unpack import align
+            base -= base % align(self.wire)
+        chunk_len = self._chunk_len
+        for i, s in enumerate(self.slots):
+            if s.state is SlotState.IDLE:
+                self._abs_pos[i] = base
+
+        t_read0 = time.perf_counter()
+        buf = self._read_chunk(base, chunk_len)
+        if self.wire is not None:
+            # Packed zero bytes still decode to nonzero LUT values, so
+            # end-of-data for a packed source is positional.
+            ended = base >= len(self.source)
+        else:
+            ended = not np.any(buf[: self.epoch_ms * spc])
+        if ended:
+            self.tlm.event(epoch_ms0, "end_of_data")
+            return False
+        rel = np.round(self._abs_pos - base).astype(np.int64)
+
+        # --- async device phase: upload, k chained dispatches, optional
+        # on-chunk acquisition dispatch, then ONE bulk readback. ---
+        t_up0 = time.perf_counter()
+        chunk_dev = self._to_device(buf)
+        if self._codes_dev is None:
+            self._codes_dev = jnp.asarray(self._codes)
+        if self._consts_dev is None:
+            self._consts_dev = (jnp.asarray(self._carr_base),
+                                jnp.asarray(self._inv_aid))
+        state = self._state._replace(
+            corr=self._state.corr._replace(
+                sample_pos=rel.astype(np.int32)))
+        t_disp0 = time.perf_counter()
+        espc = self.epoch_ms * spc
+        outs = []
+        for j in range(k):
+            win = jax.lax.slice_in_dim(chunk_dev, j * espc,
+                                       j * espc + self._win_len)
+            state, out = self._step_epoch(
+                win, self._codes_dev, self._consts_dev, state)
+            outs.append(self._summarize(out) if self.sync_every > 1
+                        else out)
+        self._state = state
+
+        acq_fut = None
+        want = [p for p in self.pool if p not in self._tracked_prns()]
+        if acq_due and want and not fdma \
+                and chunk_len >= self._acq_samples_needed_chunk():
+            if self._acq_chunk_fn is None:
+                self._acq_chunk_fn = self._make_acq_chunk_fn()
+            acq_fut = self._acq_chunk_fn(chunk_dev)
+            self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
+
+        # Bulk readback (single pipeline sync for the superepoch).
+        t_rb0 = time.perf_counter()
+        for o in outs:
+            for leaf in jax.tree.leaves(o):
+                leaf.copy_to_host_async()
+        outs = [jax.tree.map(np.asarray, o) for o in outs]
+        if acq_fut is not None:
+            acq_fut = jax.tree.map(np.asarray, acq_fut)
+        t_rb1 = time.perf_counter()
+        self.tlm.task_health(epoch_ms0, "track", t_rb0 - t_disp0,
+                             engine=self.engine, n_active=len(active),
+                             sync_every=k)
+        self.tlm.task_health(epoch_ms0, "upload", t_disp0 - t_up0,
+                             wire=self.wire or "array",
+                             read_s=round(t_up0 - t_read0, 4))
+        self.tlm.task_health(epoch_ms0, "readback", t_rb1 - t_rb0)
+        if hasattr(self.source, "stats"):
+            # FIFO depth/overrun counters from a streaming source
+            # (reference FIFO display, doxygen.h:113).
+            self.tlm.task_health(epoch_ms0, "source", 0.0,
+                                 **self.source.stats())
+
+        # --- host supervision, per sub-epoch ---
+        t_sup0 = time.perf_counter()
+        pos = base + rel.astype(np.float64)
+        for j, o in enumerate(outs):
+            epoch_ms = (e0 + j) * self.epoch_ms
+            if self.sync_every > 1:
+                blk = o["blk"].astype(np.float64)
+                ends = pos[None, :] + np.cumsum(blk, axis=0)
+                status = tlock.LockStatus(
+                    cn0_dbhz=o["stats"]["cn0_dbhz"],
+                    pll_lock=o["stats"]["pll_lock"],
+                    code_lock=o["stats"]["code_lock"],
+                    locked=o["stats"]["locked"])
+                self._supervise_epoch(
+                    epoch_ms, status, ip=o["ip"], qp=o["qp"],
+                    rem=o["rem"], ends=ends, dopp_last=o["dopp"],
+                    dopp_full=o["dopp_full"])
+            else:
+                blk = o.blksize.astype(np.float64)
+                ends = pos[None, :] + np.cumsum(blk, axis=0)
+                status = tlock.assess(
+                    o.ie.T, o.qe.T, o.ip.T, o.qp.T, o.il.T, o.ql.T,
+                    t_int_s=self.sig.code_period_s,
+                    cn0_drop_dbhz=self.cn0_drop,
+                    m=min(20, self.epoch_ms))
+                self._supervise_epoch(
+                    epoch_ms, status, ip=o.ip, qp=o.qp,
+                    rem=o.rem_code_phase, ends=ends,
+                    dopp_last=o.carr_doppler[-1],
+                    dopp_full=o.carr_doppler)
+            pos = ends[-1]
+        self._abs_pos = pos
+        self._cursor = base + k * self.epoch_ms * spc
+        self._last_progress = time.monotonic()
+        self.tlm.task_health(epoch_ms0, "assess",
+                             time.perf_counter() - t_sup0)
+
+        if acq_fut is not None:
+            self._finish_chunk_acq(acq_fut, want, base,
+                                   (e0 + k) * self.epoch_ms)
+        return True
+
+    def _supervise_epoch(self, epoch_ms: int, status, *, ip, qp, rem,
+                         ends, dopp_last, dopp_full) -> None:
+        """Per-epoch host supervision: records, history, confirm/drop
+        state machine, navigator poll. Arrays are [E, C] (np)."""
+        rec = EpochRecord(
+            epoch_ms=epoch_ms,
+            prn=np.array([s.prn for s in self.slots]),
+            cn0_dbhz=np.asarray(status.cn0_dbhz),
+            pll_lock=np.asarray(status.pll_lock),
+            doppler_hz=np.asarray(dopp_last))
+        self.records.append(rec)
+
+        abs_samp = (ends - rem.astype(np.float64)
+                    * (self.sig.fs / self.sig.code_freq))
+        active = [i for i, s in enumerate(self.slots)
+                  if s.state is not SlotState.IDLE]
+        for i in active:
+            s = self.slots[i]
+            h = self.history[s.prn]
+            h["i_p"].append(ip[:, i].copy())
+            h["q_p"].append(qp[:, i].copy())
+            h["carr_doppler"].append(dopp_full[:, i].copy())
+            h["abs_sample"].append(abs_samp[:, i].copy())
+            self.tlm.channel_health(
+                epoch_ms, i, s.prn, s.state.value,
+                float(status.cn0_dbhz[i]), float(dopp_last[i]),
+                float(status.pll_lock[i]))
+            if s.started_ms + self.epoch_ms >= epoch_ms:
+                continue          # grace epoch while loops pull in
+            if s.state is SlotState.CONFIRM:
+                s.confirm_seen += 1
+                if status.locked[i]:
+                    s.confirm_good += 1
+                if s.confirm_good >= self.confirm_m:
+                    s.state = SlotState.TRACKING
+                    self.tlm.event(epoch_ms, "channel_confirmed",
+                                   chan=i, prn=s.prn)
+                elif s.confirm_seen >= self.confirm_epochs:
+                    self._drop(i, epoch_ms, why="confirm_failed")
                 continue
+            if not status.locked[i]:
+                s.bad_epochs += 1
+                if s.bad_epochs >= self.drop_after:
+                    self._drop(i, epoch_ms, why="loss_of_lock")
+            else:
+                s.bad_epochs = 0
 
-            # Park idle slots at the epoch base so their sample_pos stays
-            # in range; rebase active slots.
-            base = int(min(self._abs_pos[i] for i in active))
-            for i, s in enumerate(self.slots):
-                if s.state is SlotState.IDLE:
-                    self._abs_pos[i] = base
-            chunk = self.source.read(base, chunk_len)
-            if not np.any(chunk[: self.epoch_ms * spc]):
-                self.tlm.event(epoch_ms, "end_of_data")
-                break
-            rel = np.round(self._abs_pos - base).astype(np.int64)
-            self._state = self._state._replace(
-                corr=self._state.corr._replace(
-                    sample_pos=jnp.asarray(rel, jnp.int32)))
-            if self._codes_dev is None:
-                self._codes_dev = jnp.asarray(self._codes)
-                self._consts_dev = (jnp.asarray(self._carr_base),
-                                    jnp.asarray(self._inv_aid))
-            # Per-stage timers (Threaded_Object exec-tic counters ->
-            # TASK_HEALTH telemetry, objects/threaded_object.h +
-            # messages.h:40): track = device scan, readback = host sync.
-            # Integer-dtype sources (int8/int16 front ends — the norm:
-            # GN3S is 2-bit, the custom FE 4-bit) upload raw and cast to
-            # f32 on device: 4-8x less host->device traffic per epoch.
-            chunk_dev = jnp.asarray(chunk)
-            if chunk_dev.dtype != jnp.float32:
-                chunk_dev = chunk_dev.astype(jnp.float32)
+        if self.navigator is not None:
             t0 = time.perf_counter()
-            self._state, out = self._tracker(
-                chunk_dev, self._codes_dev,
-                self._consts_dev, self._state)
-            t1 = time.perf_counter()
-            out = jax.tree.map(np.asarray, out)
-            t2 = time.perf_counter()
-            self.tlm.task_health(epoch_ms, "track", t1 - t0,
-                                 engine=self.engine,
-                                 n_active=len(active))
-            self.tlm.task_health(epoch_ms, "readback", t2 - t1)
-            if hasattr(self.source, "stats"):
-                # FIFO depth/overrun counters from a streaming source
-                # (reference FIFO display, doxygen.h:113).
-                self.tlm.task_health(epoch_ms, "source", 0.0,
-                                     **self.source.stats())
-            blk = out.blksize.astype(np.float64)          # [E, C]
-            ends = base + rel[None, :] + np.cumsum(blk, axis=0)
-            self._abs_pos = ends[-1]
-            self._cursor = base + self.epoch_ms * spc
-            last_progress = time.monotonic()
-
-            t0 = time.perf_counter()
-            status = tlock.assess(
-                out.ie.T, out.qe.T, out.ip.T, out.qp.T, out.il.T, out.ql.T,
-                t_int_s=self.sig.code_period_s,
-                cn0_drop_dbhz=self.cn0_drop, m=min(20, self.epoch_ms))
-            self.tlm.task_health(epoch_ms, "assess",
+            self.navigator.poll(self, epoch_ms)
+            self.tlm.task_health(epoch_ms, "pvt",
                                  time.perf_counter() - t0)
-            dopp = out.carr_doppler[-1]
-            rec = EpochRecord(
-                epoch_ms=epoch_ms,
-                prn=np.array([s.prn for s in self.slots]),
-                cn0_dbhz=status.cn0_dbhz, pll_lock=status.pll_lock,
-                doppler_hz=dopp)
-            self.records.append(rec)
-
-            rem = out.rem_code_phase.astype(np.float64)   # [E, C]
-            abs_samp = (ends - rem * (self.sig.fs / self.sig.code_freq))
-            for i in active:
-                s = self.slots[i]
-                h = self.history[s.prn]
-                h["i_p"].append(out.ip[:, i].copy())
-                h["q_p"].append(out.qp[:, i].copy())
-                h["carr_doppler"].append(out.carr_doppler[:, i].copy())
-                h["abs_sample"].append(abs_samp[:, i].copy())
-                self.tlm.channel_health(
-                    epoch_ms, i, s.prn, s.state.value,
-                    float(status.cn0_dbhz[i]), float(dopp[i]),
-                    float(status.pll_lock[i]))
-                if s.started_ms + self.epoch_ms >= epoch_ms:
-                    continue          # grace epoch while loops pull in
-                if s.state is SlotState.CONFIRM:
-                    s.confirm_seen += 1
-                    if status.locked[i]:
-                        s.confirm_good += 1
-                    if s.confirm_good >= self.confirm_m:
-                        s.state = SlotState.TRACKING
-                        self.tlm.event(epoch_ms, "channel_confirmed",
-                                       chan=i, prn=s.prn)
-                    elif s.confirm_seen >= self.confirm_epochs:
-                        self._drop(i, epoch_ms, why="confirm_failed")
-                    continue
-                if not status.locked[i]:
-                    s.bad_epochs += 1
-                    if s.bad_epochs >= self.drop_after:
-                        self._drop(i, epoch_ms, why="loss_of_lock")
-                else:
-                    s.bad_epochs = 0
-
-            if self.navigator is not None:
-                t0 = time.perf_counter()
-                self.navigator.poll(self, epoch_ms)
-                self.tlm.task_health(epoch_ms, "pvt",
-                                     time.perf_counter() - t0)
-        return self.records
 
     def _apply_commands(self, epoch_ms: int) -> None:
         """Commando equivalent: apply JSON-line runtime commands at the
@@ -408,10 +690,10 @@ class ChannelManager:
                 continue
             self.tlm.event(epoch_ms, "command_ok", raw=str(c)[:80])
 
-    def _watchdog(self, last_progress: float) -> None:
+    def _watchdog(self) -> None:
         """Patience equivalent: a live source that stops producing for
         stall_timeout_s raises instead of hanging the pipeline."""
-        if time.monotonic() - last_progress > self.stall_timeout_s:
+        if time.monotonic() - self._last_progress > self.stall_timeout_s:
             self.tlm.event(-1, "watchdog_stall")
             raise TimeoutError(
                 f"sample source stalled > {self.stall_timeout_s}s")

@@ -85,3 +85,40 @@ def assess(i_e, q_e, i_p, q_p, i_l, q_l, t_int_s: float,
     locked = (cn0 > cn0_drop_dbhz) & (pll > pll_min)
     return LockStatus(cn0_dbhz=cn0, pll_lock=pll, code_lock=code,
                       locked=locked)
+
+
+def assess_device(i_e, q_e, i_p, q_p, i_l, q_l, t_int_s: float,
+                  cn0_drop_dbhz: float = 30.0, pll_min: float = 0.5,
+                  m: int = 20):
+    """Device (jnp) twin of assess() over [E, C] epoch arrays.
+
+    Runs inside the pipelined manager's jit program so lock supervision
+    needs only a [C]-sized readback instead of the full prompt streams
+    (the reference's lock cascade likewise runs next to the correlator,
+    tests_ARM/namuro_nano_tnkernel.c:596-621). Returns a dict of [C]
+    arrays {cn0_dbhz, pll_lock, code_lock, locked}; math is identical to
+    the NumPy path (f32 instead of f64).
+    """
+    import jax.numpy as jnp
+
+    E, C = i_p.shape
+    g = E // m
+    ip = i_p[: g * m].reshape(g, m, C)
+    qp = q_p[: g * m].reshape(g, m, C)
+    ii = jnp.abs(ip).sum(axis=1)
+    qq = qp.sum(axis=1)
+    np_ = ii * ii + qq * qq
+    wp = (ip * ip + qp * qp).sum(axis=1)
+    mu = jnp.mean(np_ / jnp.maximum(wp, 1e-30), axis=0)        # [C]
+    ratio = jnp.clip((mu - 1.0) / jnp.maximum(m - mu, 1e-6), 1e-10)
+    cn0 = 10.0 * jnp.log10(ratio / t_int_s)
+    nbd = jnp.mean(i_p ** 2 - q_p ** 2, axis=0)
+    nbp = jnp.mean(i_p ** 2 + q_p ** 2, axis=0)
+    pll = nbd / jnp.maximum(nbp, 1e-30)
+    pmean = jnp.mean(jnp.sqrt(i_p ** 2 + q_p ** 2), axis=0)
+    el = jnp.mean(jnp.sqrt(i_e ** 2 + q_e ** 2)
+                  + jnp.sqrt(i_l ** 2 + q_l ** 2), axis=0)
+    code = pmean / jnp.maximum(el, 1e-30)
+    locked = (cn0 > cn0_drop_dbhz) & (pll > pll_min)
+    return {"cn0_dbhz": cn0, "pll_lock": pll, "code_lock": code,
+            "locked": locked}

@@ -1,0 +1,155 @@
+"""Pipelined ChannelManager (superepochs + packed wire) tests.
+
+The sync_every > 1 path batches K supervision epochs into one device
+round-trip with device-side lock assessment (manager._run_superepoch).
+The tracking trajectory must be IDENTICAL to the serial lockstep loop —
+the chained device calls see exactly the same state the rebased
+per-epoch calls do — and the packed 2-bit wire must still acquire,
+confirm and hold lock (quantization costs SNR, not correctness).
+"""
+
+import io
+import json
+
+import numpy as np
+
+from gnsstpu.config import (AcqConfig, ReceiverConfig, SignalConfig,
+                            TrackConfig)
+from gnsstpu.runtime.manager import ChannelManager, SlotState
+from gnsstpu.runtime.sources import ArraySource, PackedArraySource
+from gnsstpu.runtime.telemetry import Telemetry
+from gnsstpu.sim import IFSimulator, SatParams
+
+SIG = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+
+SATS = [
+    SatParams(prn=5, doppler_hz=900.0, code_phase_chips=200.5,
+              cn0_dbhz=47.0),
+    SatParams(prn=12, doppler_hz=-1500.0, code_phase_chips=700.25,
+              cn0_dbhz=46.0),
+]
+
+
+def _cfg(n_channels=3):
+    return ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=6e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(5, 12), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=n_channels,
+    )
+
+
+def _run(source, sync_every, n_ms=800, **kw):
+    mgr = ChannelManager(
+        source, _cfg(), telemetry=Telemetry(sink=io.StringIO()),
+        epoch_ms=100, reacq_period_ms=400, cn0_drop_dbhz=35.0,
+        prn_pool=[5, 12], sync_every=sync_every, **kw)
+    recs = mgr.run(n_ms)
+    return mgr, recs
+
+
+def test_pipelined_matches_serial():
+    """sync_every=4 must reproduce the serial loop's prompt/Doppler
+    trajectories bit-exactly on a healthy signal (no slot churn)."""
+    sim = IFSimulator(SIG, SATS, noise_sigma=1.0, seed=3)
+    samples = np.asarray(sim.generate(850))
+    m1, r1 = _run(ArraySource(samples.copy()), sync_every=1)
+    m4, r4 = _run(ArraySource(samples.copy()), sync_every=4)
+
+    assert len(r1) == len(r4)
+    for prn in (5, 12):
+        h1 = m1.prompt_stream(prn)
+        h4 = m4.prompt_stream(prn)
+        np.testing.assert_array_equal(h1["i_p"], h4["i_p"])
+        np.testing.assert_array_equal(h1["q_p"], h4["q_p"])
+        np.testing.assert_array_equal(h1["carr_doppler"],
+                                      h4["carr_doppler"])
+        np.testing.assert_allclose(h1["abs_sample"], h4["abs_sample"],
+                                   rtol=0, atol=1e-6)
+    # Lock stats: device f32 assess vs host f64 assess — equal to f32.
+    for a, b in zip(r1, r4):
+        np.testing.assert_allclose(a.cn0_dbhz, b.cn0_dbhz, atol=1e-2)
+        np.testing.assert_allclose(a.pll_lock, b.pll_lock, atol=1e-4)
+    states = {s.prn: s.state for s in m4.slots}
+    assert states.get(5) is SlotState.TRACKING
+    assert states.get(12) is SlotState.TRACKING
+
+
+def test_pipelined_packed_wire_tracks():
+    """2-bit sign/mag wire (GN3S format, 4x less host->device traffic):
+    the manager ships packed bytes, unpacks on device, and still
+    acquires + confirms + tracks the right Doppler."""
+    sim = IFSimulator(SIG, SATS, noise_sigma=1.0, seed=3)
+    samples = np.asarray(sim.generate(850))
+    src = PackedArraySource(samples, fmt="sm2", scale=1.0)
+    mgr, recs = _run(src, sync_every=4)
+    assert mgr.wire == "sm2"
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+    i5 = list(last.prn).index(5)
+    i12 = list(last.prn).index(12)
+    assert abs(last.doppler_hz[i5] - 900.0) < 5.0
+    assert abs(last.doppler_hz[i12] + 1500.0) < 5.0
+    assert last.cn0_dbhz[i5] > 40.0
+
+
+class LateSvSource:
+    """Second satellite appears only after switch_ms: exercises the
+    on-chunk reacquisition path while the first SV is already tracking."""
+
+    def __init__(self, sig, sats, n_ms, switch_ms, seed=3):
+        self.block = int(round(sig.fs * 1e-3))
+        self.n_ms = n_ms
+        self.switch = switch_ms * self.block
+        self.early = IFSimulator(sig, sats[:1], noise_sigma=1.0, seed=seed)
+        self.late = IFSimulator(sig, sats, noise_sigma=1.0, seed=seed)
+
+    def _gen(self, sim, start, count):
+        ms0 = start // self.block
+        ms1 = min((start + count - 1) // self.block + 1, self.n_ms)
+        if ms1 <= ms0:
+            return np.zeros((count, 2), np.float32)
+        buf = sim.generate(ms1 - ms0, ms0)
+        out = np.zeros((count, 2), np.float32)
+        off = start - ms0 * self.block
+        avail = buf[off: off + count]
+        out[: len(avail)] = avail
+        return out
+
+    def read(self, start, count):
+        if start >= self.switch:
+            return self._gen(self.late, start, count)
+        if start + count <= self.switch:
+            return self._gen(self.early, start, count)
+        n1 = self.switch - start
+        return np.concatenate(
+            [self._gen(self.early, start, n1),
+             self._gen(self.late, self.switch, count - n1)])
+
+    def __len__(self):
+        return self.n_ms * self.block
+
+
+def test_pipelined_chunk_reacquisition():
+    """A PRN that appears mid-run is picked up by the acquisition search
+    riding the superepoch's device chunk (no separate sample upload)."""
+    src = LateSvSource(SIG, SATS, 1300, switch_ms=400)
+    sink = io.StringIO()
+    mgr = ChannelManager(
+        src, _cfg(), telemetry=Telemetry(sink=sink), epoch_ms=100,
+        reacq_period_ms=300, cn0_drop_dbhz=35.0, prn_pool=[5, 12],
+        sync_every=4)
+    recs = mgr.run(1200)
+    evs = [json.loads(e) for e in sink.getvalue().splitlines()
+           if '"event"' in e]
+    starts = [e for e in evs if e["what"] == "channel_start"]
+    assert any(s["prn"] == 5 and s["epoch_ms"] == 0 for s in starts)
+    late = [s for s in starts if s["prn"] == 12]
+    assert late and late[0]["epoch_ms"] >= 400
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+    i12 = list(last.prn).index(12)
+    assert abs(last.doppler_hz[i12] + 1500.0) < 5.0

@@ -1,0 +1,51 @@
+"""Wire-format pack/unpack roundtrips (ops.unpack)."""
+
+import numpy as np
+import pytest
+
+from gnsstpu.ops import unpack as up
+
+
+@pytest.mark.parametrize("fmt", ["iq8", "iq4", "sm2", "iq1"])
+def test_roundtrip_quantized_values(fmt):
+    rng = np.random.default_rng(3)
+    iq = rng.normal(0.0, 2.0, (4096, 2)).astype(np.float32)
+    packed = up.pack(iq, fmt)
+    assert packed.dtype == np.uint8
+    assert packed.shape[0] == up.wire_bytes(fmt, 4096)
+    dec = up.unpack_np(packed, fmt)
+    assert dec.shape == (4096, 2)
+    # The unpacked values must equal the format's own quantization of
+    # the input (pack -> unpack is exact on the quantizer output).
+    if fmt == "iq8":
+        expect = np.clip(np.round(iq), -127, 127)
+    elif fmt == "iq4":
+        expect = np.clip(np.round(iq), -8, 7)
+    elif fmt == "sm2":
+        expect = np.where(iq < 0, -1.0, 1.0) * np.where(
+            np.abs(iq) >= 2.0, 3.0, 1.0)
+    else:
+        expect = np.where(iq < 0, -1.0, 1.0)
+    np.testing.assert_array_equal(dec, expect.astype(np.float32))
+
+
+@pytest.mark.parametrize("fmt", ["iq4", "sm2", "iq1"])
+def test_quantized_signal_still_correlates(fmt):
+    """A packed+unpacked IF signal must still acquire: quantization to
+    1-2 bits costs <1 dB, not detection."""
+    from gnsstpu.acquisition import acquire
+    from gnsstpu.config import AcqConfig, SignalConfig
+    from gnsstpu.sim import IFSimulator, SatParams
+
+    sig = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+    sat = SatParams(prn=9, doppler_hz=1200.0, code_phase_chips=301.0,
+                    cn0_dbhz=45.0)
+    sim = IFSimulator(sig, [sat], noise_sigma=1.0, seed=11)
+    samples = np.asarray(sim.generate(8))
+    packed = up.pack(samples, fmt, scale=1.0)
+    dec = up.unpack_np(packed, fmt)
+    acq = AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.0)
+    res = acquire(dec, sig, acq)
+    assert 9 in res.detected_prns()
+    ref = acquire(samples, sig, acq)
+    assert abs(int(res.code_phase[8]) - int(ref.code_phase[8])) <= 1

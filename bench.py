@@ -168,7 +168,7 @@ def bench_acquisition(sig, k_lo=4, k_hi=24, fft_mode="auto"):
 
 
 def bench_manager(sig, seconds=12, n_channels=12, epoch_ms=500,
-                  sync_every=4, wire="sm2", reacq_period_ms=1000):
+                  sync_every=8, wire="sm2", reacq_period_ms=1000):
     """Sustained end-to-end: the pipelined ChannelManager (production
     fused engine, superepoch batching, 2-bit GN3S-format wire with
     device-side unpack) over a pre-generated signal — includes host

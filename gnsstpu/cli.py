@@ -136,7 +136,7 @@ def cmd_track(args) -> int:
     if args.navigate:
         from gnsstpu.config import NavConfig
         from gnsstpu.runtime.navigator import OnlineNavigator
-        navr = OnlineNavigator(sig, NavConfig())
+        navr = OnlineNavigator(sig, NavConfig(), mode=args.navigate)
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                          epoch_ms=args.epoch_ms, commands=bus,
                          engine=args.engine, navigator=navr)
@@ -232,10 +232,18 @@ def cmd_simulate(args) -> int:
 
 def cmd_monitor(args) -> int:
     """Render the channel status board from a telemetry JSONL file
-    (console display page, osgnss display.c / gse channel page)."""
+    (console display page, osgnss display.c / gse channel page).
+    --interactive runs the curses ground station (runtime.station)."""
     import time as _time
 
     from gnsstpu.runtime.console import StatusBoard
+
+    if getattr(args, "interactive", False):
+        from gnsstpu.runtime.station import GroundStation, run_curses
+
+        return run_curses(
+            GroundStation(args.log, command_path=args.commands),
+            interval=args.interval)
 
     board = StatusBoard()
 
@@ -273,6 +281,9 @@ def cmd_analyze(args) -> int:
     health_png = os.path.join(args.out, "health.png")
     viz.plot_health(args.log, health_png)
     print(f"wrote {health_png}")
+    ekf_png = os.path.join(args.out, "ekf.png")
+    if viz.plot_ekf_log(args.log, ekf_png):
+        print(f"wrote {ekf_png}")
     return 0
 
 
@@ -310,8 +321,11 @@ def main(argv=None) -> int:
                    choices=["fast", "realtime"],
                    help="feed via producer thread + native ring FIFO "
                         "(realtime = throttle to fs)")
-    p.add_argument("--navigate", action="store_true",
-                   help="live ephemeris decode + PVT at epoch boundaries")
+    p.add_argument("--navigate", nargs="?", const="lsq", default=None,
+                   choices=["lsq", "ekf"],
+                   help="live ephemeris decode + PVT at epoch boundaries "
+                        "(lsq = snapshot least squares; ekf = 8-state "
+                        "PV+clock filter streamed as 'ekf' telemetry)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
     p.add_argument("--commands", default=None,
@@ -346,6 +360,12 @@ def main(argv=None) -> int:
     p.add_argument("--page", default="channels",
                    choices=["channels", "pvt", "health", "events", "all"],
                    help="console page (gse notebook tab equivalent)")
+    p.add_argument("--interactive", action="store_true",
+                   help="curses ground station (live pages, sparklines, "
+                        "command entry; gse equivalent)")
+    p.add_argument("--commands", default=None,
+                   help="command file the live receiver polls "
+                        "(interactive ':' commands append here)")
     p.set_defaults(fn=cmd_monitor)
 
     p = sub.add_parser("analyze",

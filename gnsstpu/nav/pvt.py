@@ -240,6 +240,11 @@ class NavSolutions:
     # nav.clock_steering).
     steer_s: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0))
+    # Per-epoch raw measurements (only when navigate(collect_meas=True);
+    # feeds the live EKF): list of dicts with t_ms, prns, sat_pos [S,3],
+    # obs [S] (satellite-clock-corrected pseudoranges), and — when
+    # carr_freq was provided — sat_vel [S,3] and prr [S] m/s.
+    meas: list = dataclasses.field(default_factory=list)
 
 
 def navigate(abs_sample: np.ndarray, prns: Sequence[int],
@@ -248,7 +253,8 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
              nav: NavConfig, n_ms: int,
              carr_freq: Optional[np.ndarray] = None,
              carrier_hz: Optional[np.ndarray] = None,
-             satpos_fn=None, satvel_fn=None) -> NavSolutions:
+             satpos_fn=None, satvel_fn=None,
+             collect_meas: bool = False) -> NavSolutions:
     """Epoch loop: pseudoranges -> satpos -> LSQ (postNavigation.sci:154+).
 
     abs_sample: [C, n_ms] from TrackResults (channels in `prns` order).
@@ -346,6 +352,15 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
         out.utm_e[k], out.utm_n[k], out.utm_u[k] = geodesy.cart2utm(
             *sol.pos[:3], utm_zone)
         out.valid[k] = True
+        meas_rec = None
+        if collect_meas:
+            meas_rec = {
+                "t_ms": float(out.t_ms[k]),
+                "prns": [prns[c] for c in active[sol.used]],
+                "sat_pos": sat_p[sol.used],
+                "obs": (raw_p + sat_clk * SPEED_OF_LIGHT)[sol.used],
+            }
+            out.meas.append(meas_rec)
         if carr_freq is not None and sol.used is not None and sol.used.sum() >= 4:
             use_idx = active[sol.used]
             _, sv_vel, _ = satvel_fn(
@@ -358,6 +373,11 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
                 carr_freq[c, max(0, ms_meas[c] - w):ms_meas[c] + 1].mean()
                 for c in use_idx]) - sig.if_freq - fdma_offset[use_idx]
             lam = SPEED_OF_LIGHT / carrier_hz[use_idx]
+            if meas_rec is not None:
+                # Measured range-rate = -lambda * Doppler (closing
+                # Doppler positive) — the EKF's prr convention.
+                meas_rec["sat_vel"] = sv_vel
+                meas_rec["prr"] = -lam * dop_hz
             vsol = least_square_vel(sat_p[sol.used], sv_vel, sol.pos[:3],
                                     dop_hz, lam)
             if vsol.ok:

@@ -44,11 +44,9 @@ import numpy as np
 from gnsstpu.acquisition import acquire
 from gnsstpu.acquisition.search import acq_samples_needed
 from gnsstpu.config import ReceiverConfig
-from gnsstpu.ops import code_tables
 from gnsstpu.runtime.telemetry import Telemetry
 from gnsstpu.signals.registry import get_signal
 from gnsstpu.tracking import lock as tlock
-from gnsstpu.tracking import scan as tscan
 
 
 class SlotState(enum.Enum):
@@ -133,39 +131,24 @@ class ChannelManager:
         C = cfg.n_channels
         self.slots = [Slot() for _ in range(C)]
         spc = self.sig.samples_per_code
-        # Production engine: the fused Pallas kernel on TPU backends, the
-        # exact XLA scan elsewhere — the SAME kernel bench.py measures
-        # drives the live slot bank (VERDICT r1 "fused kernel must be the
-        # production path").
-        from gnsstpu.tracking.driver import resolve_engine
-        self.engine = resolve_engine(engine)
-        if self.engine == "fused":
-            from gnsstpu.tracking.fused import (fused_code_table,
-                                                make_fused_tracker)
-            self._fused_tab = fused_code_table(self.sig, cfg.track)
-            self._codes = np.zeros(
-                (C,) + self._fused_tab.shape[1:], np.float32)
-            # Off-TPU (tests, CPU dev) the Pallas kernel runs interpreted.
-            self._tracker = make_fused_tracker(
-                self.sig, cfg.track, n_blocks=epoch_ms,
-                interpret=jax.default_backend() != "tpu")
-        else:
-            self._padded = code_tables.padded_code_table(self.sig.signal)
-            self._codes = np.zeros((C, self.sig.code_length + 2),
-                                   np.float32)
-            self._tracker = tscan.make_tracker(self.sig, cfg.track,
-                                               n_blocks=epoch_ms,
-                                               code_mode=self.engine)
-        self._state = tscan.TrackState.init(
-            np.zeros(C, np.int64), np.zeros(C, np.float32),
-            aid_div=cfg.track.aid_div)
-        cb, ia = tscan.channel_consts(self.sig, cfg.track, [1] * C)
-        self._carr_base, self._inv_aid = cb, ia      # host copies [C]
-        # Device-resident copies of the slot code tables + consts; slot
-        # swaps invalidate them. Re-uploading the fused phase-row table
-        # (MBs) every epoch would dominate epoch wall time.
-        self._codes_dev = None
-        self._consts_dev = None
+        # Production engine behind a per-family adapter: GPS-style 1 ms
+        # codes (scan or fused Pallas), Galileo BOC double-estimator
+        # (4 ms blocks), GLONASS L3 data+pilot — the SAME supervision
+        # loop drives all of them (tracking.engines).
+        from gnsstpu.tracking.engines import make_engine
+        self.eng = make_engine(cfg, engine)
+        self.engine = self.eng.name
+        if epoch_ms % self.eng.period_ms:
+            raise ValueError(
+                f"epoch_ms {epoch_ms} not a multiple of the signal's "
+                f"code period {self.eng.period_ms} ms")
+        self._bpe = epoch_ms // self.eng.period_ms   # blocks per epoch
+        self._bank = self.eng.new_bank(C)
+        self._state = self.eng.init_state(C)
+        # Device-resident copy of the slot bank; slot swaps update rows
+        # in place (re-uploading the fused phase-row tables every epoch
+        # would dominate epoch wall time).
+        self._bank_dev = None
         self._abs_pos = np.zeros(C, np.float64)    # per-slot next sample
         self._cursor = 0                           # epoch base sample
         self._next_reacq_ms = 0
@@ -185,20 +168,21 @@ class ChannelManager:
         # length. The tracker sees only its epoch's window (the fused
         # kernel keeps the window VMEM-resident); between chained calls
         # sample_pos is rebased one epoch on device.
-        espc = epoch_ms * spc
+        espc = self._bpe * spc
+        self._espc = espc
         self._win_len = espc + spc + self._drift_margin + 2
         self._chunk_len = (self.sync_every - 1) * espc + self._win_len
         if self.wire is not None:
             from gnsstpu.ops.unpack import align
             self._chunk_len += (-self._chunk_len) % align(self.wire)
-        tracker = self._tracker
+        engine_step = self.eng.make_step(self._bpe)
 
         @jax.jit
-        def step_epoch(win, codes, consts, state):
-            state, out = tracker(win, codes, consts, state)
+        def step_epoch(win, bank, state):
+            state, obs = engine_step(win, bank, state)
             state = state._replace(corr=state.corr._replace(
                 sample_pos=state.corr.sample_pos - espc))
-            return state, out
+            return state, obs
 
         self._step_epoch = step_epoch
 
@@ -214,40 +198,30 @@ class ChannelManager:
         s.confirm_good = 0
         s.confirm_seen = 0
         s.started_ms = epoch_ms
-        row = (self._fused_tab[prn - 1] if self.engine == "fused"
-               else self._padded[prn - 1])
-        self._codes[slot_idx] = row
-        if self._codes_dev is not None:
-            # In-place device row update: ships one PRN's rows with the
-            # dispatch instead of re-uploading the whole [C] table.
-            self._codes_dev = self._codes_dev.at[slot_idx].set(
-                np.asarray(row, np.float32))
-        # FDMA: this slot's carrier base and aid divisor follow the PRN's
-        # frequency channel (reference GLONASS/L1/initSettings.sci
-        # L1_IF_step).
-        off = 0.0
-        if self.sd.fdma_zero_prn is not None:
-            off = (self.sd.carrier_freq(prn)
-                   - self.sd.carrier_freq(self.sd.fdma_zero_prn))
-        cb1, ia1 = tscan.channel_consts(self.sig, self.cfg.track, [prn],
-                                        if_offsets_hz=[off])
-        self._carr_base[slot_idx] = cb1[0]
-        self._inv_aid[slot_idx] = ia1[0]
-        self._consts_dev = None
+        # Engine adapter fills the slot's code tables + per-slot consts
+        # (FDMA carrier offsets included) in the host bank; changed rows
+        # are pushed to the device copy in place (one PRN's rows ride
+        # the next dispatch instead of re-uploading the whole bank).
+        self.eng.write_slot(self._bank, slot_idx, prn)
+        if self._bank_dev is not None:
+            for key in self.eng.slot_keys:
+                if key in self._bank:
+                    self._bank_dev[key] = self._bank_dev[key].at[
+                        slot_idx].set(self._bank[key][slot_idx])
         # sample_pos is rewritten (chunk-relative) every epoch; init 0.
-        z = tscan.TrackState.init(
-            np.zeros(1, np.int64),
-            np.array([doppler_hz], np.float32),
-            aid_div=self.cfg.track.aid_div)
+        z = self.eng.slot_state(doppler_hz)
         self._state = jax.tree.map(
             lambda full, one: jnp.asarray(np.concatenate(
                 [np.asarray(full)[:slot_idx], np.asarray(one),
                  np.asarray(full)[slot_idx + 1:]])),
             self._state, z)
         self._abs_pos[slot_idx] = code_phase
-        self.history.setdefault(prn, {
-            "i_p": [], "q_p": [], "carr_doppler": [], "abs_sample": [],
-            "start_ms": epoch_ms})
+        hist = {"i_p": [], "q_p": [], "carr_doppler": [],
+                "abs_sample": [], "start_ms": epoch_ms}
+        if self.eng.has_data_component:
+            hist["i_p2"] = []
+            hist["q_p2"] = []
+        self.history.setdefault(prn, hist)
         self.tlm.event(epoch_ms, "channel_start", chan=slot_idx, prn=prn,
                        code_phase=code_phase,
                        doppler_hz=round(float(doppler_hz), 1))
@@ -413,24 +387,40 @@ class ChannelManager:
 
     # --- device-side epoch summary (pipelined readback) ---
 
+    # Packed-summary lanes: streams [E, C, 5(+2)] and stats [C, 4].
+    (_S_IP, _S_QP, _S_REM, _S_BLK, _S_DOPP, _S_IP2, _S_QP2) = range(7)
+    (_T_CN0, _T_PLL, _T_CODE, _T_LOCKED) = range(4)
+
     def _make_summarize(self):
-        m = min(20, self.epoch_ms)
+        m = min(20, max(1, self._bpe))
+        dual = self.eng.has_data_component
 
         @jax.jit
-        def summarize(out):
+        def summarize(obs):
             stats = tlock.assess_device(
-                out.ie, out.qe, out.ip, out.qp, out.il, out.ql,
+                obs.ie, obs.qe, obs.ip, obs.qp, obs.il, obs.ql,
                 t_int_s=self.sig.code_period_s,
                 cn0_drop_dbhz=self.cn0_drop, m=m)
-            return {
-                "ip": out.ip, "qp": out.qp,
-                "rem": out.rem_code_phase,
-                "blk": out.blksize,
-                "dopp": out.carr_doppler[-1],
-                "dopp_full": out.carr_doppler,
-                "stats": stats,
-            }
+            lanes = [obs.ip, obs.qp, obs.rem,
+                     obs.blksize.astype(jnp.float32), obs.dopp]
+            if dual:
+                lanes += [obs.ip2, obs.qp2]
+            streams = jnp.stack(lanes, axis=-1)        # [E, C, 5(+2)]
+            st = jnp.stack(
+                [stats["cn0_dbhz"], stats["pll_lock"],
+                 stats["code_lock"],
+                 stats["locked"].astype(jnp.float32)], axis=-1)  # [C, 4]
+            return streams, st
 
+        @jax.jit
+        def pack(summaries):
+            # One [K, E, C, lanes] + one [K, C, 4] leaf: the whole
+            # superepoch's readback is TWO host fetches instead of
+            # tens of per-leaf round trips.
+            return (jnp.stack([s[0] for s in summaries]),
+                    jnp.stack([s[1] for s in summaries]))
+
+        self._pack_epochs = pack
         return summarize
 
     # --- main loop ---
@@ -476,7 +466,7 @@ class ChannelManager:
 
         if not active:
             # Nothing tracking: advance the cursor k epochs.
-            self._cursor += k * self.epoch_ms * spc
+            self._cursor += k * self._espc
             self._watchdog()
             return True
 
@@ -498,7 +488,7 @@ class ChannelManager:
             # end-of-data for a packed source is positional.
             ended = base >= len(self.source)
         else:
-            ended = not np.any(buf[: self.epoch_ms * spc])
+            ended = not np.any(buf[: self._espc])
         if ended:
             self.tlm.event(epoch_ms0, "end_of_data")
             return False
@@ -508,24 +498,20 @@ class ChannelManager:
         # on-chunk acquisition dispatch, then ONE bulk readback. ---
         t_up0 = time.perf_counter()
         chunk_dev = self._to_device(buf)
-        if self._codes_dev is None:
-            self._codes_dev = jnp.asarray(self._codes)
-        if self._consts_dev is None:
-            self._consts_dev = (jnp.asarray(self._carr_base),
-                                jnp.asarray(self._inv_aid))
+        if self._bank_dev is None:
+            self._bank_dev = {key: jnp.asarray(v)
+                              for key, v in self._bank.items()}
         state = self._state._replace(
             corr=self._state.corr._replace(
                 sample_pos=rel.astype(np.int32)))
         t_disp0 = time.perf_counter()
-        espc = self.epoch_ms * spc
+        espc = self._espc
         outs = []
         for j in range(k):
             win = jax.lax.slice_in_dim(chunk_dev, j * espc,
                                        j * espc + self._win_len)
-            state, out = self._step_epoch(
-                win, self._codes_dev, self._consts_dev, state)
-            outs.append(self._summarize(out) if self.sync_every > 1
-                        else out)
+            state, obs = self._step_epoch(win, self._bank_dev, state)
+            outs.append(self._summarize(obs))
         self._state = state
 
         acq_fut = None
@@ -537,12 +523,14 @@ class ChannelManager:
             acq_fut = self._acq_chunk_fn(chunk_dev)
             self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
 
-        # Bulk readback (single pipeline sync for the superepoch).
+        # Bulk readback: K epochs packed into two device arrays = one
+        # pipeline sync with two host fetches per superepoch.
         t_rb0 = time.perf_counter()
-        for o in outs:
-            for leaf in jax.tree.leaves(o):
-                leaf.copy_to_host_async()
-        outs = [jax.tree.map(np.asarray, o) for o in outs]
+        packed = self._pack_epochs(outs)
+        for leaf in jax.tree.leaves(packed):
+            leaf.copy_to_host_async()
+        streams, stats = jax.tree.map(np.asarray, packed)
+        outs = [(streams[j], stats[j]) for j in range(k)]
         if acq_fut is not None:
             acq_fut = jax.tree.map(np.asarray, acq_fut)
         t_rb1 = time.perf_counter()
@@ -564,31 +552,22 @@ class ChannelManager:
         pos = base + rel.astype(np.float64)
         for j, o in enumerate(outs):
             epoch_ms = (e0 + j) * self.epoch_ms
-            if self.sync_every > 1:
-                blk = o["blk"].astype(np.float64)
-                ends = pos[None, :] + np.cumsum(blk, axis=0)
-                status = tlock.LockStatus(
-                    cn0_dbhz=o["stats"]["cn0_dbhz"],
-                    pll_lock=o["stats"]["pll_lock"],
-                    code_lock=o["stats"]["code_lock"],
-                    locked=o["stats"]["locked"])
-                self._supervise_epoch(
-                    epoch_ms, status, ip=o["ip"], qp=o["qp"],
-                    rem=o["rem"], ends=ends, dopp_last=o["dopp"],
-                    dopp_full=o["dopp_full"])
-            else:
-                blk = o.blksize.astype(np.float64)
-                ends = pos[None, :] + np.cumsum(blk, axis=0)
-                status = tlock.assess(
-                    o.ie.T, o.qe.T, o.ip.T, o.qp.T, o.il.T, o.ql.T,
-                    t_int_s=self.sig.code_period_s,
-                    cn0_drop_dbhz=self.cn0_drop,
-                    m=min(20, self.epoch_ms))
-                self._supervise_epoch(
-                    epoch_ms, status, ip=o.ip, qp=o.qp,
-                    rem=o.rem_code_phase, ends=ends,
-                    dopp_last=o.carr_doppler[-1],
-                    dopp_full=o.carr_doppler)
+            streams, st = o
+            blk = streams[:, :, self._S_BLK].astype(np.float64)
+            ends = pos[None, :] + np.cumsum(blk, axis=0)
+            status = tlock.LockStatus(
+                cn0_dbhz=st[:, self._T_CN0],
+                pll_lock=st[:, self._T_PLL],
+                code_lock=st[:, self._T_CODE],
+                locked=st[:, self._T_LOCKED] > 0.5)
+            dopp_full = streams[:, :, self._S_DOPP]
+            self._supervise_epoch(
+                epoch_ms, status,
+                ip=streams[:, :, self._S_IP],
+                qp=streams[:, :, self._S_QP],
+                rem=streams[:, :, self._S_REM], ends=ends,
+                dopp_last=dopp_full[-1], dopp_full=dopp_full,
+                streams=streams)
             pos = ends[-1]
         self._abs_pos = pos
         self._cursor = base + k * self.epoch_ms * spc
@@ -602,7 +581,8 @@ class ChannelManager:
         return True
 
     def _supervise_epoch(self, epoch_ms: int, status, *, ip, qp, rem,
-                         ends, dopp_last, dopp_full) -> None:
+                         ends, dopp_last, dopp_full,
+                         streams=None) -> None:
         """Per-epoch host supervision: records, history, confirm/drop
         state machine, navigator poll. Arrays are [E, C] (np)."""
         rec = EpochRecord(
@@ -614,7 +594,7 @@ class ChannelManager:
         self.records.append(rec)
 
         abs_samp = (ends - rem.astype(np.float64)
-                    * (self.sig.fs / self.sig.code_freq))
+                    * self.eng.rem_to_samples)
         active = [i for i, s in enumerate(self.slots)
                   if s.state is not SlotState.IDLE]
         for i in active:
@@ -622,12 +602,17 @@ class ChannelManager:
             h = self.history[s.prn]
             h["i_p"].append(ip[:, i].copy())
             h["q_p"].append(qp[:, i].copy())
+            if self.eng.has_data_component and streams is not None:
+                h["i_p2"].append(streams[:, i, self._S_IP2].copy())
+                h["q_p2"].append(streams[:, i, self._S_QP2].copy())
             h["carr_doppler"].append(dopp_full[:, i].copy())
             h["abs_sample"].append(abs_samp[:, i].copy())
             self.tlm.channel_health(
                 epoch_ms, i, s.prn, s.state.value,
                 float(status.cn0_dbhz[i]), float(dopp_last[i]),
-                float(status.pll_lock[i]))
+                float(status.pll_lock[i]),
+                ip_abs=round(float(np.mean(np.abs(ip[:, i]))), 1),
+                qp_abs=round(float(np.mean(np.abs(qp[:, i]))), 1))
             if s.started_ms + self.epoch_ms >= epoch_ms:
                 continue          # grace epoch while loops pull in
             if s.state is SlotState.CONFIRM:

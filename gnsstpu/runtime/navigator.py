@@ -66,8 +66,22 @@ def _decode_beidou(ip: np.ndarray, bit_len: int):
     return start, float(t), eph
 
 
+def _decode_galileo(ip: np.ndarray, bit_len: int):
+    from gnsstpu.nav import galileo as gal
+
+    start, _pol = gal.find_page_start(ip)
+    if start < 0:
+        return None
+    eph, tow = gal.decode_frames(ip, start)
+    if not (eph.valid and tow is not None):
+        return None
+    return start, float(tow), eph
+
+
 def _family(signal: str):
-    """(decoder, (satpos_fn, satvel_fn), min_ms before first attempt)."""
+    """(decoder, (satpos_fn, satvel_fn), min stream indexes before the
+    first decode attempt). Stream indexes are code periods — 1 ms for
+    the 1 ms-code families, 4 ms for Galileo E1."""
     if signal == "gps_l1ca":
         from gnsstpu.nav.ekf import satpos_vel
         from gnsstpu.nav.orbits import satpos
@@ -75,6 +89,10 @@ def _family(signal: str):
     if signal in ("glonass_l1of", "glonass_l2of"):
         from gnsstpu.nav import glonass as gl
         return _decode_glonass, (gl.satpos_gl, gl.satpos_vel_gl), 4000
+    if signal == "galileo_e1b":
+        from gnsstpu.nav import galileo as gal
+        # >= ~5 nominal pages (10 s = 2500 blocks) for words 1-5.
+        return _decode_galileo, (gal.satpos_gal, gal.satpos_vel_gal), 2600
     if signal == "beidou_b1i":
         from gnsstpu.nav import beidou as bd
         return _decode_beidou, (bd.satpos_bd, bd.satpos_vel_bd), 7000
@@ -90,21 +108,43 @@ class OnlineNavigator:
     """
 
     def __init__(self, sig: SignalConfig, nav: NavConfig,
-                 retry_ms: int = 2000):
+                 retry_ms: int = 2000, mode: str = "lsq",
+                 ekf_cfg=None):
+        if mode not in ("lsq", "ekf"):
+            raise ValueError(f"mode {mode!r} not in ('lsq', 'ekf')")
         self.sig = sig
         self.nav = nav
         self.retry_ms = retry_ms
-        self._decode, self._fns, self._min_ms = _family(sig.signal)
+        self.mode = mode
+        self._decode, self._fns, self._min_idx = _family(sig.signal)
+        self._period_ms = max(1, int(round(sig.code_period_s * 1e3)))
+        self._min_wall_ms = self._min_idx * self._period_ms
+        self._warned_unsupported = False
         self.decoded: Dict[int, Tuple[int, float, object]] = {}
         self._next_try: Dict[int, int] = {}
         self._next_nav = 0
         self._emitted_t = set()
         self.solutions = []
+        # EKF mode: seed from the first valid LSQ fix, then fuse each
+        # epoch's pseudoranges + Doppler rates; stream filtered PVT as
+        # 'ekf' telemetry (the reference's gse gui_ekf feed).
+        self._ekf_cfg = ekf_cfg
+        self.ekf = None
+        self._ekf_fed_t = set()
+        self._ekf_last_t: Optional[float] = None
+        self.ekf_track = []
 
     # -- called by the manager at epoch boundaries --
 
     def poll(self, mgr, epoch_ms: int) -> None:
         if self._decode is None:
+            # Loud once: a configured signal without live-nav support
+            # must not fail silently (GLONASS L3 matches the reference's
+            # acq+track-only scope, GLONASS/L3/initSettings.sci).
+            if not self._warned_unsupported:
+                self._warned_unsupported = True
+                mgr.tlm.event(epoch_ms, "live_nav_unsupported",
+                              signal=self.sig.signal)
             return
         self._try_decodes(mgr, epoch_ms)
         self._navigate(mgr, epoch_ms)
@@ -120,11 +160,11 @@ class OnlineNavigator:
             prn = s.prn
             if not prn or prn in self.decoded:
                 continue
-            if epoch_ms < self._next_try.get(prn, self._min_ms):
+            if epoch_ms < self._next_try.get(prn, self._min_wall_ms):
                 continue
             self._next_try[prn] = epoch_ms + self.retry_ms
             _, ip = self._stream(mgr, prn)
-            if len(ip) < self._min_ms:
+            if len(ip) < self._min_idx:
                 continue
             got = self._decode(ip, bit_len)
             if got is None:
@@ -169,10 +209,29 @@ class OnlineNavigator:
             abs_sample[i] = np.concatenate(
                 h["abs_sample"])[off[p]: off[p] + n_ms]
         ephs = {p: self.decoded[p][2] for p in good}
+        ekf_kw = {}
+        if self.mode == "ekf":
+            from gnsstpu.signals.registry import get_signal
+
+            sd = get_signal(self.sig.signal)
+            fdma_off = np.zeros(len(good))
+            if sd.fdma_zero_prn is not None:
+                fdma_off = np.array(
+                    [sd.carrier_freq(p)
+                     - sd.carrier_freq(sd.fdma_zero_prn) for p in good])
+            carr = np.zeros((len(good), n_ms))
+            for i, p in enumerate(good):
+                h, _ = streams[p]
+                dopp = np.concatenate(
+                    h["carr_doppler"])[off[p]: off[p] + n_ms]
+                carr[i] = self.sig.if_freq + fdma_off[i] + dopp
+            ekf_kw = {"carr_freq": carr, "collect_meas": True}
         sol = pvt.navigate(
             abs_sample=abs_sample, prns=good, subframe_start_ms=sf,
             tow_s=t0, ephs=ephs, sig=self.sig, nav=self.nav, n_ms=n_ms,
-            satpos_fn=self._fns[0], satvel_fn=self._fns[1])
+            satpos_fn=self._fns[0], satvel_fn=self._fns[1], **ekf_kw)
+        if self.mode == "ekf":
+            self._feed_ekf(mgr, sol)
         for k in range(len(sol.t_ms)):
             if not sol.valid[k] or sol.t_ms[k] in self._emitted_t:
                 continue
@@ -191,3 +250,44 @@ class OnlineNavigator:
                 "lat": float(sol.latitude[k]),
                 "lon": float(sol.longitude[k]),
                 "h": float(sol.height[k]), "n_sv": int(sol.n_sats[k])})
+
+    def _feed_ekf(self, mgr, sol) -> None:
+        """Fuse the window's NEW measurement epochs into the nav EKF and
+        stream filtered PVT ('ekf' record family; gse gui_ekf feed)."""
+        from gnsstpu.nav.ekf import EkfConfig, NavEkf
+
+        for m in sol.meas:
+            t = m["t_ms"]
+            if t in self._ekf_fed_t:
+                continue
+            self._ekf_fed_t.add(t)
+            if self.ekf is None:
+                # Seed from the matching LSQ epoch (first valid fix).
+                k = int(np.argmin(np.abs(sol.t_ms - t)))
+                if not sol.valid[k]:
+                    continue
+                x0 = np.array([sol.x[k], sol.y[k], sol.z[k],
+                               0.0, 0.0, 0.0, sol.dt[k], 0.0])
+                self.ekf = NavEkf(
+                    x0, self._ekf_cfg or EkfConfig(
+                        use_tropo=self.nav.use_tropo))
+                self._ekf_last_t = t
+                continue
+            dt = max((t - self._ekf_last_t) * 1e-3, 0.0)
+            self._ekf_last_t = t
+            st = self.ekf.step(dt, m["sat_pos"], m["obs"],
+                               m.get("sat_vel"), m.get("prr"))
+            rec = {
+                "t_ms": t, "x": float(st.pos[0]), "y": float(st.pos[1]),
+                "z": float(st.pos[2]), "vx": float(st.vel[0]),
+                "vy": float(st.vel[1]), "vz": float(st.vel[2]),
+                "clk_m": st.clock_bias_m, "clk_drift_ms": st.clock_drift_ms,
+                "n_used": int(st.accepted.sum()),
+                "p_pos": round(float(np.sqrt(
+                    np.trace(self.ekf.P[:3, :3]))), 3),
+            }
+            self.ekf_track.append(rec)
+            mgr.tlm.emit("ekf", epoch_ms=int(t),
+                         **{k: (round(v, 3) if isinstance(v, float)
+                                else v) for k, v in rec.items()
+                            if k != "t_ms"})

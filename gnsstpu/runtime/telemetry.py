@@ -52,11 +52,11 @@ class Telemetry:
 
     def channel_health(self, epoch_ms: int, chan: int, prn: int,
                        state: str, cn0_dbhz: float, doppler_hz: float,
-                       pll_lock: float) -> None:
+                       pll_lock: float, **kw) -> None:
         self.emit(MSG_CHANNEL_HEALTH, epoch_ms=epoch_ms, chan=chan,
                   prn=prn, state=state, cn0_dbhz=round(cn0_dbhz, 2),
                   doppler_hz=round(doppler_hz, 2),
-                  pll_lock=round(pll_lock, 4))
+                  pll_lock=round(pll_lock, 4), **kw)
 
     def event(self, epoch_ms: int, what: str, **kw) -> None:
         self.emit(MSG_EVENT, epoch_ms=epoch_ms, what=what, **kw)

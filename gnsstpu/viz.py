@@ -189,6 +189,45 @@ def plot_ekf(steps, out_png: str) -> None:
     plt.close(fig)
 
 
+def plot_ekf_log(jsonl_path: str, out_png: str) -> bool:
+    """EKF panel from a LIVE telemetry log ('ekf' record family emitted
+    by OnlineNavigator(mode='ekf') — gse gui_ekf / matlab analyze_ekf.m
+    over the live stream). Returns False when the log has no ekf records."""
+    import json as _json
+
+    recs = []
+    with open(jsonl_path) as f:
+        for line in f:
+            if line.strip():
+                r = _json.loads(line)
+                if r.get("type") == "ekf":
+                    recs.append(r)
+    if not recs:
+        return False
+    t = np.array([r["epoch_ms"] for r in recs]) / 1e3
+    pos = np.stack([[r["x"], r["y"], r["z"]] for r in recs])
+    vel = np.stack([[r["vx"], r["vy"], r["vz"]] for r in recs])
+    fig, axs = plt.subplots(2, 2, figsize=(11, 8))
+    for i, lbl in enumerate("xyz"):
+        axs[0, 0].plot(t, pos[:, i] - pos[0, i], label=lbl)
+        axs[0, 1].plot(t, vel[:, i], label="v" + lbl)
+    axs[0, 0].legend(), axs[0, 0].set(title="EKF position vs start [m]")
+    axs[0, 1].legend(), axs[0, 1].set(title="EKF velocity [m/s]")
+    axs[1, 0].plot(t, [r["clk_m"] for r in recs], label="bias [m]")
+    axs[1, 0].plot(t, [r["clk_drift_ms"] for r in recs],
+                   label="drift [m/s]")
+    axs[1, 0].legend(), axs[1, 0].set(title="EKF clock states")
+    axs[1, 1].plot(t, [r["n_used"] for r in recs], ".-", label="n used")
+    axs[1, 1].plot(t, [r["p_pos"] for r in recs], ".-",
+                   label="pos sigma [m]")
+    axs[1, 1].legend()
+    axs[1, 1].set(title="measurements / covariance", xlabel="t [s]")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return True
+
+
 def plot_health(jsonl_path: str, out_png: str) -> None:
     """Run-health analysis from the telemetry stream (matlab
     analyze_pvt.m + gse gui_health analogue): per-stage wall times,

@@ -98,3 +98,78 @@ def test_satpos_vel_consistent_with_positions():
     p2, _ = satpos(T0 + 2.0, ephs)
     drift = p2 - (pos + 2.0 * vel)
     assert np.all(np.linalg.norm(drift, axis=1) < 2.5)  # ~0.5*a*t^2, a~0.6 m/s^2
+
+
+def test_live_ekf_mode_beats_lsq_scatter(tmp_path):
+    """OnlineNavigator(mode='ekf') in the LIVE manager loop: the filter
+    is seeded from the first LSQ fix, fuses each epoch's pseudoranges +
+    Doppler rates, streams 'ekf' telemetry, and its position scatter on
+    a noisy run beats the snapshot LSQ scatter (reference gse gui_ekf /
+    matlab analyze_ekf.m role)."""
+    import json
+
+    from gnsstpu.config import (AcqConfig, NavConfig, ReceiverConfig,
+                                SignalConfig, TrackConfig)
+    from gnsstpu.runtime.manager import ChannelManager
+    from gnsstpu.runtime.navigator import OnlineNavigator
+    from gnsstpu.runtime.sources import SimSource
+    from gnsstpu.runtime.telemetry import Telemetry
+    from gnsstpu.sim import IFSimulator
+    from gnsstpu.sim.scenario import build_scenario_glonass
+    from tests.test_glonass import (GFIX_RECV, GFIX_T0,
+                                    make_glonass_constellation)
+
+    sig = SignalConfig(signal="glonass_l1of", if_freq=0.0, fs=4.096e6,
+                       code_freq=0.511e6, code_length=511,
+                       fdma_step=562.5e3, complex_iq=True)
+    n_ms = 12000
+    gephs = make_glonass_constellation(GFIX_RECV, n=6)
+    # Noisier than the LSQ fix test (44 dB-Hz): the filter has scatter
+    # to win back.
+    sats, qephs = build_scenario_glonass(
+        sig, gephs, GFIX_RECV, GFIX_T0, duration_s=n_ms / 1000.0,
+        cn0_dbhz=44.0, n_strings=6)
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=31)
+    src = SimSource(sim, n_ms + 60)
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=14e3, coherent_ms=2, threshold=2.5,
+                      prn_list=tuple(qephs), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0, pll_bw=25.0, fll_bw=250.0,
+                          aid_div=1602e6 / 0.511e6),
+        n_channels=6)
+    log = tmp_path / "telemetry.jsonl"
+    navr = OnlineNavigator(
+        sig, NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
+                       use_tropo=False),
+        retry_ms=300, mode="ekf")
+    with open(log, "w") as sink:
+        mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                             epoch_ms=100, reacq_period_ms=10 ** 9,
+                             confirm_epochs=6, navigator=navr,
+                             sync_every=4)
+        mgr.run(n_ms)
+
+    assert navr.ekf is not None and len(navr.ekf_track) >= 6
+    # Compare scatter over the common settled window (skip the filter's
+    # first 2 epochs of convergence).
+    ek_t = {r["t_ms"] for r in navr.ekf_track[2:]}
+    ek = np.array([[r["x"], r["y"], r["z"]]
+                   for r in navr.ekf_track[2:]])
+    ls = np.array([[s["x"], s["y"], s["z"]] for s in navr.solutions
+                   if s["t_ms"] in ek_t])
+    assert len(ls) == len(ek)
+    err_ek = np.linalg.norm(ek - GFIX_RECV[None, :], axis=1)
+    err_ls = np.linalg.norm(ls - GFIX_RECV[None, :], axis=1)
+    assert err_ek.mean() < err_ls.mean(), (
+        f"EKF {err_ek.mean():.1f} m !< LSQ {err_ls.mean():.1f} m")
+    assert err_ek.mean() < 25.0
+
+    # 'ekf' records went out live and the analyze panel consumes them.
+    recs = [json.loads(l) for l in log.read_text().splitlines()
+            if '"ekf"' in l]
+    assert len(recs) == len(navr.ekf_track)
+    from gnsstpu import viz
+    png = tmp_path / "ekf.png"
+    assert viz.plot_ekf_log(str(log), str(png))
+    assert png.exists() and png.stat().st_size > 1000

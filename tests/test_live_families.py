@@ -1,0 +1,144 @@
+"""Live-runtime coverage for the multi-ms and dual-component families.
+
+VERDICT r2 item 4: the ChannelManager must drive Galileo E1 (4 ms code
+periods, double-estimator) and GLONASS L3 (data+pilot) in the LIVE
+runtime — not only the offline drivers — and a configured signal with no
+live-nav support must say so loudly instead of silently never navigating.
+"""
+
+import io
+import json
+
+import numpy as np
+
+from gnsstpu.config import (AcqConfig, NavConfig, ReceiverConfig,
+                            SignalConfig, TrackConfig)
+from gnsstpu.runtime.manager import ChannelManager, SlotState
+from gnsstpu.runtime.navigator import OnlineNavigator
+from gnsstpu.runtime.sources import SimSource
+from gnsstpu.runtime.telemetry import Telemetry
+from gnsstpu.sim import IFSimulator, SatParams
+from gnsstpu.signals import galileo_e1, glonass_l3
+
+
+GSIG = SignalConfig(signal="galileo_e1b", if_freq=0.0, fs=4.2e6,
+                    code_freq=galileo_e1.SUB_FREQ,
+                    code_length=galileo_e1.SUB_LENGTH)
+
+
+def test_manager_live_galileo_tracks_and_decodes():
+    """Live manager on E1B: acquisition -> 4 ms-block double-estimator
+    slots -> I/NAV ephemeris decode from the accumulating history via
+    OnlineNavigator (single SV; the full multi-SV live fix is covered by
+    the offline scenario test + the GLONASS live-fix test)."""
+    from tests.test_galileo import make_galeph
+    from gnsstpu.nav import galileo as gal
+
+    eph = make_galeph()
+    rng = np.random.default_rng(5)
+    filler = rng.choice([-1.0, 1.0], 130)
+    syms = np.concatenate([filler,
+                           gal.encode_frames(eph, tow0=345600, n_pages=6)])
+    sat = SatParams(prn=11, doppler_hz=1234.0, code_phase_chips=3210.5,
+                    cn0_dbhz=48.0, nav_bits=syms)
+    sim = IFSimulator(GSIG, [sat], noise_sigma=1.0, seed=4)
+    n_blocks = len(syms) + 8
+    n_ms = n_blocks * 4
+    src = SimSource(sim, int((n_blocks + 8) * GSIG.code_period_ms))
+
+    cfg = ReceiverConfig(
+        signal=GSIG,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=1, threshold=2.2,
+                      doppler_step=75.0, prn_list=(11,)),
+        track=TrackConfig(dll_bw=1.0, el_spacing=0.25, pll_bw=15.0,
+                          fll_bw=50.0, sll_bw=0.5, sll_spacing=0.25,
+                          aid_div=1540.0),
+        n_channels=2)
+    sink = io.StringIO()
+    navr = OnlineNavigator(GSIG, NavConfig(sol_period_ms=500),
+                           retry_ms=500)
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=400, reacq_period_ms=10 ** 9,
+                         confirm_epochs=3, navigator=navr,
+                         sync_every=2)
+    recs = mgr.run(n_ms - 800)
+
+    assert mgr.engine.startswith("boc")
+    # The slot confirmed and held lock at the right Doppler.
+    states = {s.prn: s.state for s in mgr.slots}
+    assert states.get(11) is SlotState.TRACKING
+    last = recs[-1]
+    i11 = list(last.prn).index(11)
+    assert abs(last.doppler_hz[i11] - 1234.0) < 5.0
+    assert last.cn0_dbhz[i11] > 40.0
+    # Live ephemeris decode happened mid-run from the 4 ms history.
+    assert 11 in navr.decoded
+    dec = navr.decoded[11][2]
+    assert dec.IODnav == eph.IODnav and dec.sqrtA == dec.sqrtA
+    evs = [json.loads(l) for l in sink.getvalue().splitlines()
+           if '"event"' in l]
+    assert any(e["what"] == "ephemeris_decoded" and e["prn"] == 11
+               for e in evs)
+
+
+L3SIG = SignalConfig(signal="glonass_l3oc", if_freq=-2.025e6, fs=24.0e6,
+                     code_freq=glonass_l3.CODE_FREQ,
+                     code_length=glonass_l3.CODE_LENGTH)
+
+
+def test_manager_live_l3_tracks_and_warns_no_nav():
+    """Live manager on L3OC: pilot acquisition -> dual-code slots
+    (data+pilot accumulators in the history) -> loud telemetry that the
+    signal has no live-nav support (reference L3 receiver scope is
+    acq+track only, GLONASS/L3/initSettings.sci)."""
+    from gnsstpu.nav.glonass_l3 import sync_overlay
+    from tests.test_glonass_l3 import overlay_streams
+
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, 8).astype(np.int8)
+    n_ms = 560
+    pilot_ov, data_ov, _ = overlay_streams(bits, n_ms + 60)
+    prn = 7
+    common = dict(doppler_hz=1800.0, code_phase_chips=4321.25,
+                  cn0_dbhz=50.0)
+    sats = [
+        SatParams(prn=glonass_l3.pilot_prn(prn), nav_bits=pilot_ov,
+                  carrier_phase=0.0, **common),
+        SatParams(prn=glonass_l3.data_prn(prn), nav_bits=data_ov,
+                  carrier_phase=np.pi / 2, **common),
+    ]
+    sim = IFSimulator(L3SIG, sats, noise_sigma=1.0, seed=6)
+    src = SimSource(sim, n_ms + 40)
+
+    cfg = ReceiverConfig(
+        signal=L3SIG,
+        acq=AcqConfig(doppler_band=5e3, coherent_ms=1, threshold=2.5,
+                      doppler_step=250.0, prn_list=(prn,)),
+        track=TrackConfig(dll_bw=1.0, el_spacing=0.3, pll_bw=25.0,
+                          fll_bw=250.0,
+                          aid_div=glonass_l3.CARRIER_HZ
+                          / glonass_l3.CODE_FREQ),
+        n_channels=1)
+    sink = io.StringIO()
+    navr = OnlineNavigator(L3SIG, NavConfig())
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=100, reacq_period_ms=10 ** 9,
+                         navigator=navr, prn_pool=[prn], sync_every=2)
+    recs = mgr.run(500)
+
+    assert mgr.engine.startswith("dual")
+    last = recs[-1]
+    assert int(last.prn[0]) == prn
+    assert abs(last.doppler_hz[0] - 1800.0) < 5.0
+    assert last.cn0_dbhz[0] > 42.0
+    # Data-component prompts accumulated in the history (q_p2 carries
+    # the quadrature data channel) and the pilot NH overlay is visible.
+    h = mgr.prompt_stream(prn)
+    assert "i_p2" in h and len(h["i_p2"]) == len(h["i_p"])
+    sync = sync_overlay(h["i_p"][200:])
+    assert sync.found and sync.quality >= 0.75
+    # Loud no-live-nav event, exactly once.
+    evs = [json.loads(l) for l in sink.getvalue().splitlines()
+           if '"event"' in l]
+    warn = [e for e in evs if e["what"] == "live_nav_unsupported"]
+    assert len(warn) == 1 and warn[0]["signal"] == "glonass_l3oc"

@@ -279,6 +279,114 @@ class StreamSource:
         return 1 << 62
 
 
+def decode_samples(raw: bytes, fmt: str) -> np.ndarray:
+    """Decode a raw byte buffer in a FileSource wire format to f32
+    [n, 2] (whole samples only; callers keep their own byte residue)."""
+    from gnsstpu import native
+
+    if fmt == "i8_iq":
+        n = len(raw) // 2
+        return native.decode_i8_iq(np.frombuffer(raw, np.int8,
+                                                 count=2 * n))
+    if fmt == "i16_iq":
+        n = len(raw) // 4
+        return native.decode_i16_iq(np.frombuffer(raw, np.int16,
+                                                  count=2 * n))
+    if fmt == "gn3s_2bit":
+        return native.decode_gn3s_2bit(np.frombuffer(raw, np.uint8))
+    if fmt == "c64":
+        n = len(raw) // 8
+        c = np.frombuffer(raw, np.complex64, count=n)
+        out = np.empty((n, 2), np.float32)
+        out[:, 0], out[:, 1] = c.real, c.imag
+        return out
+    if fmt == "i8":
+        v = np.frombuffer(raw, np.int8).astype(np.float32)
+        out = np.zeros((len(v), 2), np.float32)
+        out[:, 0] = v
+        return out
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def _format_bytes_per_sample(fmt: str) -> int:
+    return {"i8_iq": 2, "i8": 1, "i16_iq": 4, "c64": 8,
+            "gn3s_2bit": 1}[fmt]
+
+
+class SocketStreamProducer:
+    """UDP datagram receiver -> sample decode -> ring FIFO.
+
+    Completes the GPS_Source role for a NETWORKED front end (the
+    reference reads its radios over USB in a dedicated thread,
+    objects/gps_source.cpp:135 Read; a modern deployment ships IF
+    samples over the network instead). Datagrams carry raw wire-format
+    bytes (any FileSource format); sample framing is byte-continuous
+    across datagrams. Pushes 1 ms f32 blocks NON-blocking, counting
+    overruns in the FIFO (a live radio must never stall the network
+    receive loop — same policy as the reference's FIFO overwrite).
+
+    Bind with port=0 for an ephemeral port; .port tells the sender
+    where to aim. stop() (or a zero-length datagram) ends the stream
+    and closes the FIFO.
+    """
+
+    def __init__(self, fifo, block_samples: int, fmt: str = "i8_iq",
+                 host: str = "127.0.0.1", port: int = 0,
+                 timeout_s: float = 10.0):
+        import socket
+        import threading
+
+        self.fifo = fifo
+        self.block = int(block_samples)
+        self.fmt = fmt
+        self._bps = _format_bytes_per_sample(fmt)
+        self.timeout_s = timeout_s
+        self._stop = False
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((host, port))
+        self.sock.settimeout(0.2)
+        self.port = self.sock.getsockname()[1]
+        self.overruns = 0
+        self.thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "SocketStreamProducer":
+        self.thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop = True
+
+    def _run(self) -> None:
+        import socket
+        import time as _time
+
+        residue = b""
+        blk_bytes = self.block * self._bps
+        deadline = _time.monotonic() + self.timeout_s
+        try:
+            while not self._stop:
+                try:
+                    data, _ = self.sock.recvfrom(65536)
+                except socket.timeout:
+                    if _time.monotonic() > deadline:
+                        break
+                    continue
+                if not data:          # zero-length datagram = EOS
+                    break
+                deadline = _time.monotonic() + self.timeout_s
+                residue += data
+                while len(residue) >= blk_bytes:
+                    blk = decode_samples(residue[:blk_bytes], self.fmt)
+                    residue = residue[blk_bytes:]
+                    if self.fifo.push(blk.astype(np.float32)
+                                      .view(np.uint8).reshape(-1),
+                                      timeout_ms=-1) != 1:
+                        self.overruns += 1
+        finally:
+            self.fifo.close()
+            self.sock.close()
+
+
 class FileStreamProducer:
     """Producer thread: file/pipe reader + sample-format decode feeding a
     RingFifo with 1 ms f32 blocks (the GPS_Source read thread,

@@ -368,3 +368,93 @@ def test_fused_boc_kernel_closed_loop_and_parity():
         b = np.asarray(getattr(ro.acc, fld))[:5]
         assert np.max(np.abs(a - b)) < tol * max(np.abs(
             np.asarray(getattr(ro.acc, fld))).max(), 1.0), fld
+
+
+def test_fused_boc_locked_loop_long_horizon_parity():
+    """VERDICT r2 item 8: from a CONVERGED state, the fused BOC kernel
+    and the exact scan BOC tracker must agree over a long horizon (the
+    standard test_fused_dual_kernel_matches_scan_dual sets). A locked
+    double-estimator is a stable system, so the fused path's 1/64-chip
+    row quantization must stay a bounded perturbation — not diverge —
+    across 200 blocks (0.8 s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnsstpu.ops import nco
+    from gnsstpu.runtime.sources import SimSource
+    from gnsstpu.tracking.boc import (BocTrackState, boc_fused_tables,
+                                      make_boc_tracker,
+                                      make_fused_boc_tracker)
+
+    prn = 11
+    rng = np.random.default_rng(9)
+    syms = rng.choice([-1.0, 1.0], 360).astype(np.float64)
+    sat = SatParams(prn=prn, doppler_hz=1234.0, code_phase_chips=3210.5,
+                    cn0_dbhz=48.0, nav_bits=syms)
+    sim = IFSimulator(SIG, [sat], noise_sigma=1.0, seed=4)
+    warm, horizon = 120, 200
+    src = SimSource(sim, int((warm + horizon + 8) * SIG.code_period_ms))
+
+    acq = AcqConfig(doppler_band=4e3, coherent_ms=1, threshold=2.2,
+                    doppler_step=75.0, prn_list=(prn,))
+    res = acquire(src.read(0, acq_samples_needed(SIG, acq)), SIG, acq)
+    cp = int(res.code_phase[prn - 1])
+    dopp0 = float(res.carr_freq[prn - 1])
+    trk = TrackConfig(dll_bw=1.0, el_spacing=0.25, pll_bw=15.0,
+                      fll_bw=50.0, sll_bw=0.5, sll_spacing=0.25,
+                      aid_div=1540.0)
+    cb = jnp.asarray(np.array(
+        [nco.freq_to_step_u32(SIG.if_freq, SIG.fs)], np.uint32))
+    spc = SIG.samples_per_code
+
+    def pad(c):
+        return np.concatenate([c[-1:], c, c[:1]]).astype(np.float32)
+
+    codes = jnp.asarray(pad(galileo_e1.primary_code(prn))[None])
+    sub = jnp.asarray(pad(galileo_e1.subcarrier()))
+
+    # Converge with the exact engine.
+    warm_trk = make_boc_tracker(SIG, trk, n_blocks=warm)
+    st0 = jax.tree.map(jnp.asarray, BocTrackState.init(
+        np.array([cp]), np.array([dopp0], np.float32)))
+    chunk_w = jnp.asarray(src.read(cp, warm * spc + spc + 64))
+    st0 = st0._replace(corr=st0.corr._replace(
+        sample_pos=jnp.zeros(1, jnp.int32)))
+    st_conv, ow = warm_trk(chunk_w, codes, sub, cb, st0)
+    assert abs(float(np.asarray(ow.carr_doppler)[-1, 0]) - 1234.0) < 3.0
+
+    # From the SAME converged state, run both engines over the horizon.
+    pos0 = cp + int(np.asarray(ow.acc.blksize).sum())
+    chunk_h = jnp.asarray(src.read(pos0, horizon * spc + spc + 64))
+    st_conv = st_conv._replace(corr=st_conv.corr._replace(
+        sample_pos=jnp.zeros(1, jnp.int32)))
+    scan_trk = make_boc_tracker(SIG, trk, n_blocks=horizon)
+    _, r = scan_trk(chunk_h, codes, sub, cb, st_conv)
+
+    ctab, stab, _, _ = boc_fused_tables(SIG, trk, [prn])
+    fused = make_fused_boc_tracker(SIG, trk, n_blocks=horizon,
+                                   interpret=True)
+    _, g = fused(chunk_h, jnp.asarray(ctab), jnp.asarray(stab), cb,
+                 st_conv)
+
+    # Near-identical block geometry over the whole horizon (the fused
+    # path's quantized rem may flip a ceil boundary by one sample on
+    # rare blocks; cumulative drift must stay bounded)...
+    bg = np.asarray(g.acc.blksize).astype(np.int64)
+    br = np.asarray(r.acc.blksize).astype(np.int64)
+    assert np.abs(bg - br).max() <= 1
+    assert np.abs(np.cumsum(bg - br)).max() <= 2
+    # ...carrier trajectory within PLL-jitter-level agreement...
+    np.testing.assert_allclose(np.asarray(g.carr_doppler),
+                               np.asarray(r.carr_doppler), atol=2.0)
+    # ...absolute code phase (consumed samples minus the remainder in
+    # samples — invariant to single-sample block-boundary flips) within
+    # a few 1/64-chip quantization steps...
+    spchip = SIG.fs / (SIG.code_freq / 2.0)
+    abs_g = np.cumsum(bg, 0) - np.asarray(g.acc.rem_code_phase) * spchip
+    abs_r = np.cumsum(br, 0) - np.asarray(r.acc.rem_code_phase) * spchip
+    np.testing.assert_allclose(abs_g, abs_r, atol=6.0 / 64.0 * spchip)
+    # ...and full prompt power all the way (no slow unlock).
+    pp_g = np.hypot(np.asarray(g.acc.i_pp), np.asarray(g.acc.q_pp))
+    pp_r = np.hypot(np.asarray(r.acc.i_pp), np.asarray(r.acc.q_pp))
+    assert pp_g[-50:].mean() > 0.9 * pp_r[-50:].mean()

@@ -105,3 +105,69 @@ def test_manager_runs_off_live_stream(tmp_path):
                 if '"stage": "source"' in l]
     assert src_msgs and src_msgs[-1]["pushed"] >= n_ms
     assert src_msgs[-1]["overruns"] == 0
+
+
+def test_manager_runs_off_udp_socket_stream():
+    """Networked front end: a sender streams simulated IF samples as
+    i8_iq UDP datagrams; SocketStreamProducer decodes into the ring
+    FIFO; the manager acquires and tracks off the live socket
+    (GPS_Source role for a network radio, gps_source.cpp:135)."""
+    import socket
+
+    from gnsstpu.runtime.sources import SocketStreamProducer
+
+    sats = [SatParams(prn=4, doppler_hz=600.0, code_phase_chips=150.25,
+                      cn0_dbhz=47.0)]
+    n_ms = 900
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=8)
+    samples = np.asarray(sim.generate(n_ms + 40))
+    wire = np.clip(np.round(samples * 24.0), -127, 127).astype(np.int8)
+
+    blk = SIG.samples_per_code
+    # FIFO deep enough for the whole capture: the CPU test consumer is
+    # slower than a real radio, and a non-blocking producer would
+    # otherwise (correctly) overrun.
+    fifo = native.RingFifo(depth=1024, block_bytes=blk * 8)
+    prod = SocketStreamProducer(fifo, blk, fmt="i8_iq",
+                                timeout_s=8.0).start()
+    src = StreamSource(fifo, blk, history_blocks=1024, timeout_s=8.0)
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        raw = wire.reshape(-1).tobytes()
+        # Deliberately datagram-misaligned chunks (1472-byte MTU-ish):
+        # sample framing must survive byte-continuation across packets.
+        # Paced in small bursts so the kernel UDP receive buffer never
+        # drops (loopback has no flow control).
+        step = 1472
+        for i in range(0, len(raw), step):
+            tx.sendto(raw[i: i + step], ("127.0.0.1", prod.port))
+            if i % (step * 16) == 0:
+                time.sleep(0.002)
+        time.sleep(0.1)
+        tx.sendto(b"", ("127.0.0.1", prod.port))
+        tx.close()
+
+    t = threading.Thread(target=send)
+    t.start()
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(4,), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0), n_channels=1)
+    sink = io.StringIO()
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=100, reacq_period_ms=10 ** 9,
+                         prn_pool=[4], sync_every=2)
+    recs = mgr.run(800)
+    t.join()
+    prod.stop()
+
+    last = recs[-1]
+    assert int(last.prn[0]) == 4
+    assert abs(last.doppler_hz[0] - 600.0) < 5.0
+    assert last.cn0_dbhz[0] > 40.0
+    # FIFO counters made it into telemetry (doxygen.h:113 display).
+    health = [json.loads(l) for l in sink.getvalue().splitlines()
+              if '"task_health"' in l and '"source"' in l]
+    assert health and health[-1]["pushed"] >= 800

@@ -142,7 +142,94 @@ def _string_bits(eph: GlonassEphemeris, str_num: int) -> np.ndarray:
         put_uint(80, 80, s)
         put(79, 59, m)
         put_uint(15, 11, eph.n)
+    _kx_set_check_bits(bits)
     return bits
+
+
+# ---------------------------------------------------------------------------
+# KX Hamming code (ICD GLONASS L1/L2 ed. 5.1, section 4.7 + Table 4.13 —
+# the ICD the reference ships at GLONASS/ICD/en/ICD_GLONASS_L1_L2_5_1_en.PDF):
+# 77 data bits b85..b9 protected by 8 check bits beta8..beta1 (ICD bits
+# 8..1); corrects any single-bit error, detects multiple errors.
+# ---------------------------------------------------------------------------
+
+def _kx_data_sets():
+    """ICD Table 4.13 data-bit index sets for checksums C1..C7."""
+    c1 = [9, 10, 12, 13, 15, 17, 19, 20, 22, 24, 26, 28, 30, 32, 34, 35,
+          37, 39, 41, 43, 45, 47, 49, 51, 53, 55, 57, 59, 61, 63, 65, 66,
+          68, 70, 72, 74, 76, 78, 80, 82, 84]
+    c2 = [9, 11, 12, 14, 15, 18, 19, 21, 22, 25, 26, 29, 30, 33, 34, 36,
+          37, 40, 41, 44, 45, 48, 49, 52, 53, 56, 57, 60, 61, 64, 65, 67,
+          68, 71, 72, 75, 76, 79, 80, 83, 84]
+    c3 = (list(range(10, 13)) + list(range(16, 20)) + list(range(23, 27))
+          + list(range(31, 35)) + list(range(38, 42))
+          + list(range(46, 50)) + list(range(54, 58))
+          + list(range(62, 66)) + list(range(69, 73))
+          + list(range(77, 81)) + [85])
+    c4 = (list(range(13, 20)) + list(range(27, 35)) + list(range(42, 50))
+          + list(range(58, 66)) + list(range(73, 81)))
+    c5 = (list(range(20, 35)) + list(range(50, 66)) + list(range(81, 86)))
+    c6 = list(range(35, 66))
+    c7 = list(range(66, 86))
+    return [c1, c2, c3, c4, c5, c6, c7]
+
+
+_KX_SETS = _kx_data_sets()
+
+
+def _kx_checksums(bits: np.ndarray):
+    """(C[7], C_sigma) per Table 4.13 over a b01 array (index 85-icd)."""
+    c = []
+    for i, idxs in enumerate(_KX_SETS):
+        s = int(bits[85 - (i + 1)])            # beta_i = ICD bit i+1
+        for k in idxs:
+            s ^= int(bits[85 - k])
+        c.append(s)
+    csum = 0
+    for k in range(1, 86):
+        csum ^= int(bits[85 - k])
+    return c, csum
+
+
+def _kx_set_check_bits(bits: np.ndarray) -> None:
+    """Fill ICD bits 8..1 so all checksums C1..C7 and C_sigma are zero."""
+    for i in range(7):
+        bits[85 - (i + 1)] = 0
+    bits[85 - 8] = 0
+    c, _ = _kx_checksums(bits)
+    for i in range(7):
+        bits[85 - (i + 1)] = c[i]
+    _, csum = _kx_checksums(bits)
+    bits[85 - 8] = csum
+
+
+def kx_verify(bits: np.ndarray):
+    """ICD 4.7 verification: returns the (possibly single-bit-corrected)
+    string, or None if multiple errors are detected (string erased).
+
+    Rules: all checksums zero -> correct; exactly one of C1..C7 = 1 with
+    C_sigma = 1 -> error in a check bit (data intact); >= 2 of C1..C7
+    with C_sigma = 1 -> correct data bit icor = bin(C7..C1) + 8 - K
+    (K = most significant nonzero checksum index); otherwise erase.
+    """
+    c, csum = _kx_checksums(bits)
+    ones = [i + 1 for i in range(7) if c[i]]
+    if not ones and csum == 0:
+        return bits
+    if csum == 1:
+        if len(ones) == 1:
+            return bits                       # check-bit error only
+        if len(ones) >= 2:
+            val = 0
+            for i in range(6, -1, -1):
+                val = (val << 1) | c[i]
+            K = max(ones)
+            icor = val + 8 - K
+            if 9 <= icor <= 85:
+                out = bits.copy()
+                out[85 - icor] ^= 1
+                return out
+    return None
 
 
 def encode_string(bits85: np.ndarray, last_level: float = 1.0) -> np.ndarray:
@@ -194,7 +281,12 @@ def decode_string(prompt_ms: np.ndarray) -> Optional[np.ndarray]:
     b = np.zeros(85, np.int8)
     prod = -nd[:-1] * nd[1:]
     b[1:] = ((prod + 1) // 2).astype(np.int8)
-    return b
+    # KX Hamming verification (ICD 4.7): corrects a single bit error
+    # (e.g. one flipped symbol from a Costas half-cycle slip — the
+    # differential decode turns a polarity flip into exactly one bad
+    # bit) and erases multi-error strings instead of silently feeding
+    # corrupted fields into the ephemeris.
+    return kx_verify(b)
 
 
 def find_time_mark(prompt_i: np.ndarray) -> int:

@@ -103,6 +103,179 @@ def least_square_pos(sat_pos: np.ndarray, obs: np.ndarray,
     return LsqSolution(pos, el, az, dop, resid)
 
 
+def least_square_pos_multi(sat_pos: np.ndarray, obs: np.ndarray,
+                           sys_id: np.ndarray, n_sys: int,
+                           use_tropo: bool = True, iterations: int = 7
+                           ) -> LsqSolution:
+    """Multi-constellation LSQ: one position + one clock bias per
+    SYSTEM (GPS time vs GLONASS time etc. differ by an unknown offset
+    the solver estimates as extra states — the capability the reference
+    ecosystem gestures at with four separate receivers but never had).
+
+    sys_id: [S] integer system index per measurement (0..n_sys-1).
+    Returns LsqSolution with pos[3] = system-0 clock bias and
+    .inter_sys [n_sys-1] = biases of systems 1.. relative to system 0.
+    Needs >= 4 + (n_sys - 1) measurements with every system present.
+    """
+    S = sat_pos.shape[0]
+    nu = 4 + (n_sys - 1)
+    sys_id = np.asarray(sys_id, int)
+    x = np.zeros(nu)           # [pos, dt0, delta_1..]
+    az = np.zeros(S)
+    el = np.zeros(S)
+    A = np.zeros((S, nu))
+    trop = np.full(S, 2.0)
+    rot_x = sat_pos.copy()
+    clk_col = np.zeros((S, n_sys - 1))
+    for s in range(1, n_sys):
+        clk_col[sys_id == s, s - 1] = 1.0
+    for it in range(iterations):
+        if it > 0:
+            rho = np.linalg.norm(sat_pos - x[:3], axis=1)
+            rot_x = geodesy.e_r_corr(rho / SPEED_OF_LIGHT, sat_pos)
+            az, el, _ = geodesy.topocent(x[:3], rot_x - x[:3])
+            trop = (geodesy.tropo(np.sin(np.radians(el))) if use_tropo
+                    else np.zeros(S))
+        rng = np.linalg.norm(rot_x - x[:3], axis=1)
+        omc = (obs - rng - x[3] - clk_col @ x[4:] - trop)
+        A[:, :3] = -(rot_x - x[:3]) / obs[:, None]
+        A[:, 3] = 1.0
+        A[:, 4:] = clk_col
+        if S < nu or np.linalg.matrix_rank(A) != nu:
+            bad = LsqSolution(np.zeros(4), el, az, np.zeros(5), omc,
+                              ok=False)
+            bad.inter_sys = np.zeros(n_sys - 1)
+            return bad
+        dx, *_ = np.linalg.lstsq(A, omc, rcond=None)
+        x = x + dx
+    q = np.linalg.inv(A.T @ A)
+    dop = np.array([
+        np.sqrt(np.trace(q[:4, :4])),
+        np.sqrt(q[0, 0] + q[1, 1] + q[2, 2]),
+        np.sqrt(q[0, 0] + q[1, 1]),
+        np.sqrt(q[2, 2]),
+        np.sqrt(q[3, 3]),
+    ])
+    resid = (obs - np.linalg.norm(rot_x - x[:3], axis=1) - x[3]
+             - clk_col @ x[4:] - trop)
+    sol = LsqSolution(x[:4], el, az, dop, resid)
+    sol.inter_sys = x[4:].copy()
+    return sol
+
+
+@dataclasses.dataclass
+class SystemObs:
+    """One constellation's inputs to the joint navigator.
+
+    abs_sample rows must be ABSOLUTE SAMPLE indexes of a clock shared by
+    all systems (a multi-band front end samples every channel off one
+    oscillator); subframe_start is each channel's decoded anchor index
+    (code periods) pre-aligned to tow_s (navigate_from_anchors style).
+    """
+
+    prns: list
+    abs_sample: np.ndarray       # [C, n_idx]
+    subframe_start: list         # [C] anchor index, code periods
+    tow_s: float                 # satellite time at the aligned anchors
+    ephs: dict                   # prn -> ephemeris
+    satpos_fn: object            # (t, [eph]) -> (pos [S,3], clk [S])
+    code_period_s: float
+    fs: float
+
+
+def navigate_joint(systems, nav: NavConfig, n_epochs: int,
+                   elevation_mask_deg: float = None) -> NavSolutions:
+    """Joint multi-constellation epoch navigator (e.g. GPS + GLONASS).
+
+    Solves position + per-system clock biases from the union of
+    pseudoranges at a common solution cadence. Each system keeps its own
+    transmit timescale (satpos at its own tow_s + k*step); the unknown
+    inter-system time offsets are estimated states
+    (least_square_pos_multi). Minimum measurement count is
+    4 + (n_sys - 1): 3 GPS + 3 GLONASS fixes where neither subset can.
+
+    systems: list of SystemObs. n_epochs: solution epochs to compute.
+    Reference: GPS/L1/postNavigation.sci + GLONASS/L1/postNavigation.sci
+    — two single-constellation navigators this joint solve supersedes.
+    """
+    n_sys = len(systems)
+    mask = (nav.elevation_mask_deg if elevation_mask_deg is None
+            else elevation_mask_deg)
+    E = n_epochs
+    out = NavSolutions(
+        t_ms=np.zeros(E), x=np.zeros(E), y=np.zeros(E), z=np.zeros(E),
+        dt=np.zeros(E), latitude=np.zeros(E), longitude=np.zeros(E),
+        height=np.zeros(E), utm_e=np.zeros(E), utm_n=np.zeros(E),
+        utm_u=np.zeros(E), dop=np.zeros((E, 5)), n_sats=np.zeros(E, int),
+        valid=np.zeros(E, bool),
+    )
+    out.inter_sys = np.zeros((E, n_sys - 1))
+    steps = [max(1, int(round(nav.sol_period_ms * 1e-3
+                              / s.code_period_s))) for s in systems]
+    t_tx = [s.tow_s for s in systems]
+    elev: dict = {}
+    utm_zone = None
+    for k in range(E):
+        t_rx_s, sat_p_all, sys_all, prn_all = [], [], [], []
+        for si, s in enumerate(systems):
+            sf = np.asarray(s.subframe_start, np.int64)
+            ms = sf + k * steps[si]
+            ok = ms < s.abs_sample.shape[1]
+            use = [c for c in np.nonzero(ok)[0]
+                   if s.prns[c] in s.ephs
+                   and elev.get((si, s.prns[c]), 90.0) >= mask]
+            if not use:
+                continue
+            p, clk = s.satpos_fn(t_tx[si],
+                                 [s.ephs[s.prns[c]] for c in use])
+            for j, c in enumerate(use):
+                # Receive time of the measured code start on the COMMON
+                # sample clock, satellite-clock corrected.
+                t_rx_s.append(s.abs_sample[c, ms[c]] / s.fs
+                              + float(clk[j]))
+                sat_p_all.append(p[j])
+                sys_all.append(si)
+                prn_all.append((si, s.prns[c]))
+        out.t_ms[k] = k * nav.sol_period_ms
+        out.n_sats[k] = len(t_rx_s)
+        if len(t_rx_s) >= 4 + (n_sys - 1):
+            t_rx = np.asarray(t_rx_s)
+            sysv = np.asarray(sys_all)
+            # Rebase PER SYSTEM to a nominal travel-time window (the
+            # single-system navigator's startOffset convention): each
+            # stream's decode anchors sit at different stream times, and
+            # an un-rebased cross-system spread of ~0.1 s would leave
+            # the pseudoranges 10x the true ranges (ruining the
+            # A ~ los/obs linearization). The removed per-system
+            # constants are exactly what the clock states estimate.
+            trav = t_rx.copy()
+            for s in range(n_sys):
+                m = sysv == s
+                if np.any(m):
+                    trav[m] -= np.floor(trav[m].min() * 1e3) / 1e3
+            pr = (trav + nav.start_offset_ms * 1e-3) * SPEED_OF_LIGHT
+            sol = least_square_pos_multi(
+                np.asarray(sat_p_all), pr, np.asarray(sys_all), n_sys,
+                use_tropo=nav.use_tropo, iterations=nav.lsq_iterations)
+            if sol.ok:
+                for key, e in zip(prn_all, sol.el):
+                    elev[key] = e
+                out.x[k], out.y[k], out.z[k], out.dt[k] = sol.pos
+                out.inter_sys[k] = sol.inter_sys
+                out.dop[k] = sol.dop
+                lat, lon, h = geodesy.cart2geo(*sol.pos[:3], 5)
+                out.latitude[k], out.longitude[k] = lat, lon
+                out.height[k] = h
+                if utm_zone is None:
+                    utm_zone = geodesy.find_utm_zone(lat, lon)
+                out.utm_e[k], out.utm_n[k], out.utm_u[k] = \
+                    geodesy.cart2utm(*sol.pos[:3], utm_zone)
+                out.valid[k] = True
+        for si, s in enumerate(systems):
+            t_tx[si] += steps[si] * s.code_period_s
+    return out
+
+
 def least_square_vel(sat_pos: np.ndarray, sat_vel: np.ndarray,
                      rx_pos: np.ndarray, doppler_hz: np.ndarray,
                      wavelength_m: np.ndarray) -> "VelSolution":

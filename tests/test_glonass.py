@@ -440,3 +440,72 @@ def test_manager_online_navigation_glonass():
     evs = [_json.loads(l) for l in sink.getvalue().splitlines()
            if "ephemeris_decoded" in l]
     assert {e["prn"] for e in evs} == set(qephs)
+
+
+def test_kx_hamming_roundtrip_and_correction():
+    """ICD 4.7 KX code (Table 4.13, the ICD the reference bundles):
+    encoder-set check bits verify clean; ANY single data-bit error is
+    corrected to the exact flipped position; check-bit errors leave the
+    data intact; double errors are erased — so a Costas half-cycle slip
+    (one bad differential bit) can no longer corrupt an ephemeris
+    silently."""
+    from gnsstpu.nav.glonass import (GlonassEphemeris, _string_bits,
+                                     kx_verify)
+
+    eph = GlonassEphemeris(tk_h=11, tk_m=15, tk_s=30, tb=675,
+                           x=16433.302, y=18502.156, z=6153.599,
+                           xdot=0.352192, ydot=0.776927, zdot=-3.276539,
+                           taun=-1.2e-5, gamman=2.0e-12, n=7)
+    for sn in (1, 2, 3, 4):
+        bits = _string_bits(eph, sn)
+        assert kx_verify(bits) is not None
+        np.testing.assert_array_equal(kx_verify(bits), bits)
+        # Single DATA bit flips (ICD bits 9..85): corrected exactly.
+        for icd in range(9, 86):
+            bad = bits.copy()
+            bad[85 - icd] ^= 1
+            fixed = kx_verify(bad)
+            assert fixed is not None, (sn, icd)
+            np.testing.assert_array_equal(fixed, bits)
+        # Single CHECK bit flips beta1..beta7: data accepted as-is.
+        for icd in range(1, 8):
+            bad = bits.copy()
+            bad[85 - icd] ^= 1
+            fixed = kx_verify(bad)
+            assert fixed is not None, (sn, icd)
+            np.testing.assert_array_equal(fixed[:85 - 8], bits[:85 - 8])
+        # beta8 flip: all C1..C7 zero but C_sigma = 1 -> indistinguishable
+        # from multiple errors; ICD rule (c) says erase.
+        bad = bits.copy()
+        bad[85 - 8] ^= 1
+        assert kx_verify(bad) is None
+        # Double errors: erased.
+        rng = np.random.default_rng(sn)
+        for _ in range(30):
+            i, j = rng.choice(np.arange(9, 86), 2, replace=False)
+            bad = bits.copy()
+            bad[85 - i] ^= 1
+            bad[85 - j] ^= 1
+            assert kx_verify(bad) is None, (sn, i, j)
+
+
+def test_decode_string_corrects_polarity_slip():
+    """A Costas half-cycle slip mid-string flips every later symbol; the
+    differential decode turns that into ONE bad bit, which the KX layer
+    corrects — the decoded string is unharmed."""
+    from gnsstpu.nav import glonass as gl
+
+    eph = gl.GlonassEphemeris(tb=675, z=6153.599, zdot=-3.276539)
+    bits = gl._string_bits(eph, 3)
+    syms = gl.encode_string(bits)                 # [200] +-1 at 10 ms
+    ip = np.repeat(syms, 10) * 700.0              # 1 ms prompt stream
+    clean = gl.decode_string(ip[:1700])
+    assert clean is not None
+    # Slip at 700 ms: everything after flips sign.
+    slipped = ip.copy()
+    slipped[700:] *= -1.0
+    dec = gl.decode_string(slipped[:1700])
+    assert dec is not None
+    np.testing.assert_array_equal(dec, clean)
+    z = gl._sm(dec, 34, 9, 35, 2.0 ** -11)
+    assert abs(z - 6153.599) < 1e-2

@@ -425,6 +425,15 @@ def _make_dual_kernel(*, n_blocks: int, ct: int, blkp: int,
         ctile = pl.program_id(0)
         b = pl.program_id(1)
         c0 = ctile * CT
+        slot = jax.lax.rem(b, 2)
+
+        def row_dma(s, c):
+            # Descriptor for channel c's tap-row copy into buffer s
+            # (re-constructed identically at issue and wait sites).
+            return pltpu.make_async_copy(
+                tab_ref.at[c0 + c, row_sm[s, c]],   # [8, blkp] in HBM
+                rows_scr.at[s, c],                  # [8, blkp] in VMEM
+                dma_sem.at[s, c])
 
         @pl.when(b == 0)
         def _():
@@ -433,7 +442,7 @@ def _make_dual_kernel(*, n_blocks: int, ct: int, blkp: int,
                 pos_sm[c] = pos0_sm[c0 + c]
                 cphase_sm[c] = cinit_sm[c0 + c]
 
-        # ---- Phase 0: block geometry + tap-row selection [CT, 1] ----
+        # ---- Phase 0: block geometry [CT, 1] ----
         rem = fstate[:, _F_REM:_F_REM + 1]
         code_delta = fstate[:, _F_CODE_DELTA:_F_CODE_DELTA + 1]
         carr_delta = fstate[:, _F_CARR_DELTA:_F_CARR_DELTA + 1]
@@ -444,23 +453,24 @@ def _make_dual_kernel(*, n_blocks: int, ct: int, blkp: int,
                  + pltpu.bitcast(
                      jnp.round(carr_delta * f32(nco_scale)
                                ).astype(jnp.int32), jnp.uint32))
-        prow = jnp.round((rem + f32(span_chips)) * f32(ph_f))
-        prow = jnp.clip(prow.astype(jnp.int32), 0, rows_total - 1)
         for c in range(CT):
-            row_sm[c] = prow[c, 0]
             blk_sm[c] = blk[c, 0]
             cstep_sm[c] = cstep[c, 0]
 
-        # ---- Phase A: start the HBM row DMAs FIRST, then compute the
-        # LO while they fly, then correlate. ----
-        copies = []
-        for c in range(CT):
-            cp = pltpu.make_async_copy(
-                tab_ref.at[c0 + c, row_sm[c]],      # [8, blkp] in HBM
-                rows_scr.at[c],                     # [8, blkp] in VMEM
-                dma_sem.at[c])
-            cp.start()
-            copies.append(cp)
+        # ---- Phase A. Tap rows are DOUBLE-BUFFERED one block ahead:
+        # block b's rows were issued at the END of block b-1 (the next
+        # rem — hence the next row index — is known after the loop
+        # update), so the ~0.7 MB/channel HBM row copies hide behind a
+        # full block of compute instead of only the LO math. Block 0
+        # issues its own and eats the one-time wait. ----
+        @pl.when(b == 0)
+        def _():
+            prow = jnp.round((rem + f32(span_chips)) * f32(ph_f))
+            prow = jnp.clip(prow.astype(jnp.int32), 0, rows_total - 1)
+            for c in range(CT):
+                row_sm[0, c] = prow[c, 0]
+            for c in range(CT):
+                row_dma(0, c).start()
 
         wins = []
         for c in range(CT):
@@ -502,12 +512,13 @@ def _make_dual_kernel(*, n_blocks: int, ct: int, blkp: int,
         bb_i = (xi * lo_c + xq * lo_s) * mask
         bb_q = (xq * lo_c - xi * lo_s) * mask
 
-        for cp in copies:
-            cp.wait()
+        for c in range(CT):
+            row_dma(slot, c).wait()
         accs = []
         for j in range(6):
             rows_j = jnp.concatenate(
-                [rows_scr[c, j:j + 1, :blkp] for c in range(CT)], axis=0)
+                [rows_scr[slot, c, j:j + 1, :blkp] for c in range(CT)],
+                axis=0)
             accs.append(jnp.sum(rows_j * bb_i, axis=1, keepdims=True))
             accs.append(jnp.sum(rows_j * bb_q, axis=1, keepdims=True))
         (ie, qe, ip, qp, il, ql,
@@ -554,6 +565,19 @@ def _make_dual_kernel(*, n_blocks: int, ct: int, blkp: int,
         fstate[:, _F_OLD_CODE_ERR:_F_OLD_CODE_ERR + 1] = code_err
         fstate[:, _F_IP_PREV:_F_IP_PREV + 1] = ip
         fstate[:, _F_QP_PREV:_F_QP_PREV + 1] = qp
+
+        # Prefetch: the NEXT block's rem is now known — select its tap
+        # rows and launch their HBM copies into the other buffer so they
+        # fly behind the whole of block b+1's LO/window compute.
+        @pl.when(b < n_blocks - 1)
+        def _():
+            nslot = 1 - slot
+            prow_n = jnp.round((new_rem + f32(span_chips)) * f32(ph_f))
+            prow_n = jnp.clip(prow_n.astype(jnp.int32), 0, rows_total - 1)
+            for c in range(CT):
+                row_sm[nslot, c] = prow_n[c, 0]
+            for c in range(CT):
+                row_dma(nslot, c).start()
 
         zero = jnp.zeros((CT, 1), f32)
         out_ref[0, :, :] = jnp.concatenate([
@@ -645,10 +669,10 @@ def track_chunk_dual_fused(chunk_t, tab, pos0, finit, cinit, carrbase,
             pltpu.SMEM((CT,), jnp.int32),            # pos
             pltpu.SMEM((CT,), jnp.int32),            # blk
             pltpu.SMEM((CT,), jnp.uint32),           # cstep
-            pltpu.SMEM((CT,), jnp.int32),            # tap row
-            pltpu.VMEM((CT, 8, -(-blkp // 128) * 128),
-                       jnp.float32),             # DMA'd tap rows
-            pltpu.SemaphoreType.DMA((CT,)),
+            pltpu.SMEM((2, CT), jnp.int32),          # tap row per buffer
+            pltpu.VMEM((2, CT, 8, -(-blkp // 128) * 128),
+                       jnp.float32),             # double-buffered rows
+            pltpu.SemaphoreType.DMA((2, CT)),
         ],
     )
 
@@ -658,7 +682,7 @@ def track_chunk_dual_fused(chunk_t, tab, pos0, finit, cinit, carrbase,
         jax.ShapeDtypeStruct((Cp, NI), jnp.int32),
     )
 
-    vmem = int(chunk_t.size * 4 + 2 * CT * 8 * blkp * 4
+    vmem = int(chunk_t.size * 4 + 4 * CT * 8 * blkp * 4
                + 10 * CT * blkp * 4 + 2 ** 21)
     out, ffin, ifin = pl.pallas_call(
         kernel,

@@ -458,3 +458,38 @@ def test_fused_boc_locked_loop_long_horizon_parity():
     pp_g = np.hypot(np.asarray(g.acc.i_pp), np.asarray(g.acc.q_pp))
     pp_r = np.hypot(np.asarray(r.acc.i_pp), np.asarray(r.acc.q_pp))
     assert pp_g[-50:].mean() > 0.9 * pp_r[-50:].mean()
+
+
+def test_ambiguous_boc_tracker_alternative():
+    """The reference's BOC tracking ALTERNATIVE
+    (GALILEO/E1/BOC_tracking_alternatives/: track the composite BOC(1,1)
+    autocorrelation directly — simpler, but the sharp +-half-cycle
+    ambiguous peak): in this framework that is simply the standard scan
+    engine run on the composite code table, no special machinery. The
+    production path remains the unambiguous double-estimator
+    (tracking.boc); this covers the alternative's scope."""
+    from gnsstpu.runtime.sources import SimSource
+    from gnsstpu.tracking import ChannelInit
+    from gnsstpu.tracking.driver import track
+
+    rng = np.random.default_rng(9)
+    syms = rng.choice([-1.0, 1.0], 200)
+    sat = SatParams(prn=11, doppler_hz=1234.0, code_phase_chips=3210.5,
+                    cn0_dbhz=48.0, nav_bits=syms)
+    sim = IFSimulator(SIG, [sat], noise_sigma=1.0, seed=4)
+    src = SimSource(sim, int(206 * SIG.code_period_ms))
+    acq = AcqConfig(doppler_band=4e3, coherent_ms=1, threshold=2.2,
+                    doppler_step=75.0, prn_list=(11,))
+    res = acquire(src.read(0, acq_samples_needed(SIG, acq)), SIG, acq)
+    assert 11 in res.detected_prns()
+    ch = ChannelInit(prn=11, code_phase=int(res.code_phase[10]),
+                     doppler_hz=float(res.carr_freq[10]))
+    # Composite clock: pdi = 4 ms code period; aiding at the meandr
+    # rate (f_carr / 2.046 MHz = 770).
+    trk = TrackConfig(dll_bw=1.0, el_spacing=0.3, pll_bw=15.0,
+                      fll_bw=50.0, pdi=SIG.code_period_s, aid_div=770.0)
+    tr = track(src, [ch], SIG, trk, n_ms=200, chunk_ms=100,
+               code_mode="gather")
+    assert abs(np.mean(tr.carr_freq[0, 150:]) - 1234.0) < 2.0
+    pp = np.hypot(tr.i_p[0], tr.q_p[0])
+    assert pp[150:].mean() > 1.3 * pp[:10].mean()   # pulled in, locked

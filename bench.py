@@ -217,6 +217,15 @@ def bench_manager(sig, seconds=12, n_channels=12, epoch_ms=500,
     recs = mgr.run(n_ms - warm_ms)
     wall = time.perf_counter() - t0
     live = int(sum(1 for p in recs[-1].prn if p)) if recs else 0
+    # Context: this number is dominated by the host->device link, which
+    # on the tunneled rig varies run to run. Record the link's observed
+    # one-shot upload throughput so the artifact explains itself.
+    import jax as _jax
+    up = np.zeros(2 * 1024 * 1024, np.int8)
+    _jax.device_put(up).block_until_ready()
+    t0 = time.perf_counter()
+    _jax.device_put(up).block_until_ready()
+    up_mbps = 2.0 / max(time.perf_counter() - t0, 1e-9)
     return {
         "realtime_factor": round((n_ms - warm_ms) / 1000.0 / wall, 2),
         "live_channels_at_end": live,
@@ -225,8 +234,10 @@ def bench_manager(sig, seconds=12, n_channels=12, epoch_ms=500,
         "sync_every": sync_every,
         "wire": wire,
         "reacq_period_ms": reacq_period_ms,
+        "link_upload_mbps": round(up_mbps, 1),
         "note": "wall-clock incl. host feed, packed upload, live reacq "
-                "searches, per-superepoch readback (tunnel rig)",
+                "searches, per-superepoch readback; dominated by the "
+                "host<->device link (tunnel rig, load-dependent)",
     }
 
 

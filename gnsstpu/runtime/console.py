@@ -76,7 +76,7 @@ class StatusBoard:
     or a whole JSONL file, then render().
     """
 
-    PAGES = ("channels", "pvt", "health", "events")
+    PAGES = ("channels", "pvt", "health", "events", "eph")
 
     def __init__(self, n_events: int = 6):
         self.channels: Dict[int, dict] = {}
@@ -85,6 +85,7 @@ class StatusBoard:
         self.events: List[dict] = []
         self.stages: Dict[str, dict] = {}     # stage -> {last, max, n, sum}
         self.source: Optional[dict] = None    # stream FIFO counters
+        self.ephs: Dict[int, dict] = {}       # prn -> decoded orbit fields
         self.n_events = n_events
         self.epoch_ms = 0
 
@@ -110,6 +111,8 @@ class StatusBoard:
                 s["n"] += 1
                 s["sum"] += w
         elif t == "event":
+            if rec.get("what") == "ephemeris_decoded":
+                self.ephs[rec["prn"]] = rec
             self.events.append(rec)
             if rec.get("what") == "channel_drop":
                 ch = self.channels.get(rec.get("chan", -1))
@@ -131,6 +134,8 @@ class StatusBoard:
             return "\n".join([hdr] + self._render_health())
         if page == "events":
             return "\n".join([hdr] + self._render_events(24))
+        if page == "eph":
+            return "\n".join([hdr] + self._render_ephs())
         lines = [hdr, " ch  prn  state      C/N0   doppler    PLL"]
         for chan in sorted(self.channels):
             c = self.channels[chan]
@@ -180,6 +185,23 @@ class StatusBoard:
                 f" fifo: depth {f.get('count', 0)}  pushed "
                 f"{f.get('pushed', 0)}  popped {f.get('popped', 0)}  "
                 f"overruns {f.get('overruns', 0)}")
+        return lines
+
+    def _render_ephs(self) -> List[str]:
+        """Decoded-ephemeris browser (gse gui_ephemeris analogue): the
+        orbit headline fields each live decode reported."""
+        if not self.ephs:
+            return [" (no ephemerides decoded yet)"]
+        lines = []
+        for prn in sorted(self.ephs):
+            e = self.ephs[prn]
+            kv = {k: e[k] for k in ("sqrtA", "e", "t_oe", "i_0",
+                                    "omega_0", "IODnav", "IODC", "x",
+                                    "y", "z", "tb", "a_f0", "taun")
+                  if k in e}
+            pairs = "  ".join(f"{k}={v}" for k, v in kv.items())
+            lines.append(f" prn {prn:3d} @ {e.get('epoch_ms', '?')} ms: "
+                         f"{pairs}")
         return lines
 
     def _render_events(self, n: int) -> List[str]:

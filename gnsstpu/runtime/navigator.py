@@ -170,8 +170,19 @@ class OnlineNavigator:
             if got is None:
                 continue
             self.decoded[prn] = got
+            # Headline orbit fields ride the event so operator surfaces
+            # (station 'eph' page = gse gui_ephemeris) can browse them.
+            eph = got[2]
+            fields = {}
+            for k in ("sqrtA", "e", "t_oe", "i_0", "omega_0", "IODnav",
+                      "IODC", "x", "y", "z", "tb", "a_f0", "taun"):
+                v = getattr(eph, k, None)
+                if v is not None:
+                    fields[k] = round(float(v), 6) if isinstance(
+                        v, float) else v
             mgr.tlm.event(epoch_ms, "ephemeris_decoded", prn=prn,
-                          anchor_idx=int(got[0]), t_anchor=got[1])
+                          anchor_idx=int(got[0]), t_anchor=got[1],
+                          **fields)
 
     def _navigate(self, mgr, epoch_ms: int) -> None:
         if epoch_ms < self._next_nav:

@@ -54,7 +54,7 @@ class GroundStation:
         self.page_idx = 0
         self.input_mode = False
         self.input_buf = ""
-        self.message = "keys: 1-4 pages  TAB next  : command  q quit"
+        self.message = "keys: 1-5 pages  TAB next  : command  q quit"
         self.done = False
         self._pos = 0
         self._hist = hist
@@ -122,7 +122,7 @@ class GroundStation:
             self.done = True
         elif key == "TAB":
             self.page_idx = (self.page_idx + 1) % len(self.PAGES)
-        elif key in "1234":
+        elif key.isdigit() and 1 <= int(key) <= len(self.PAGES):
             self.page_idx = int(key) - 1
 
     def submit(self, text: str) -> bool:

@@ -139,3 +139,22 @@ def test_status_board_pages():
     ev = b.render("events")
     assert "channel_start" in ev
     assert all(p in b.render_all() for p in ("channels", "health"))
+
+
+def test_eph_browser_page():
+    """The 'eph' console page (gse gui_ephemeris analogue) lists the
+    orbit headline fields carried by ephemeris_decoded events."""
+    from gnsstpu.runtime.console import StatusBoard
+
+    b = StatusBoard()
+    b.update({"type": "event", "epoch_ms": 8200,
+              "what": "ephemeris_decoded", "prn": 7,
+              "sqrtA": 5153.712, "e": 0.0123, "t_oe": 266400,
+              "IODC": 421})
+    b.update({"type": "event", "epoch_ms": 9000,
+              "what": "ephemeris_decoded", "prn": 12,
+              "x": 10816.36, "y": 1905.12, "z": 23013.63, "tb": 675})
+    page = b.render("eph")
+    assert "prn   7" in page and "sqrtA=5153.712" in page
+    assert "prn  12" in page and "tb=675" in page
+    assert "eph" in b.render_all()

@@ -139,7 +139,8 @@ def cmd_track(args) -> int:
         navr = OnlineNavigator(sig, NavConfig(), mode=args.navigate)
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                          epoch_ms=args.epoch_ms, commands=bus,
-                         engine=args.engine, navigator=navr)
+                         engine=args.engine, navigator=navr,
+                         sync_every=args.sync_every)
     if args.profile:
         # Opt-in JAX profiler trace (SURVEY §5 tracing: the reference's
         # Threaded_Object tic counters; here a real xplane trace).
@@ -317,6 +318,11 @@ def main(argv=None) -> int:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "fused", "gather", "table"],
                    help="tracking engine (auto = fused Pallas on TPU)")
+    p.add_argument("--sync-every", type=int, default=1,
+                   help="supervision epochs per device round-trip "
+                        "(superepoch pipelining; >1 batches uploads/"
+                        "dispatches/readbacks, decisions stale by <= N "
+                        "epochs)")
     p.add_argument("--stream", nargs="?", const="fast", default=None,
                    choices=["fast", "realtime"],
                    help="feed via producer thread + native ring FIFO "

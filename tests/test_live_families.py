@@ -142,3 +142,50 @@ def test_manager_live_l3_tracks_and_warns_no_nav():
            if '"event"' in l]
     warn = [e for e in evs if e["what"] == "live_nav_unsupported"]
     assert len(warn) == 1 and warn[0]["signal"] == "glonass_l3oc"
+
+
+def test_manager_online_navigation_galileo():
+    """LIVE Galileo receiver parity with the reference's Ephemeris+PVT
+    threads (mirrors test_manager_online_navigation_glonass): the
+    ChannelManager drives 4 ms double-estimator slots for a 5-SV E1B
+    constellation, OnlineNavigator decodes I/NAV ephemerides from the
+    accumulating block history mid-run and streams LSQ fixes as pvt
+    telemetry."""
+    from tests.test_galileo import (GAL_RECV, GAL_TOW0,
+                                    make_gal_constellation)
+    from gnsstpu.sim.scenario import build_scenario_galileo
+
+    n_per = 3600                        # 4 ms periods (14.4 s)
+    ephs = make_gal_constellation(5)
+    sats, qephs = build_scenario_galileo(
+        GSIG, ephs, GAL_RECV, GAL_TOW0,
+        duration_s=n_per * GSIG.code_period_s, cn0_dbhz=48.0, n_pages=7)
+    sim = IFSimulator(GSIG, sats, noise_sigma=1.0, seed=23)
+    src = SimSource(sim, int((n_per + 8) * GSIG.code_period_ms))
+    cfg = ReceiverConfig(
+        signal=GSIG,
+        acq=AcqConfig(doppler_band=9e3, coherent_ms=1, threshold=2.2,
+                      doppler_step=75.0, prn_list=tuple(sorted(qephs))),
+        track=TrackConfig(dll_bw=1.0, el_spacing=0.25, pll_bw=15.0,
+                          fll_bw=50.0, sll_bw=0.5, sll_spacing=0.25,
+                          aid_div=1540.0),
+        n_channels=5)
+    sink = io.StringIO()
+    navr = OnlineNavigator(
+        GSIG, NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
+                        use_tropo=False), retry_ms=800)
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=400, reacq_period_ms=10 ** 9,
+                         confirm_epochs=3, navigator=navr, sync_every=2)
+    mgr.run(n_per * 4 - 1600)
+
+    assert sorted(navr.decoded) == sorted(qephs)
+    sols = navr.solutions
+    assert len(sols) >= 4, f"only {len(sols)} online Galileo fixes"
+    err = np.array([np.linalg.norm([s["x"] - GAL_RECV[0],
+                                    s["y"] - GAL_RECV[1],
+                                    s["z"] - GAL_RECV[2]]) for s in sols])
+    assert np.mean(err) < 30.0, f"mean 3D error {np.mean(err):.1f} m"
+    pvts = [json.loads(l) for l in sink.getvalue().splitlines()
+            if '"type": "pvt"' in l]
+    assert len(pvts) == len(sols)

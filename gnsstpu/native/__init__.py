@@ -60,6 +60,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                          p(ctypes.c_float), i64, i32]
         lib.decode_packed_4bit.argtypes = [p(ctypes.c_uint16),
                                            p(ctypes.c_float), i64, i32]
+        for nm in ("pack_iq8", "pack_iq4", "pack_sm2", "pack_iq1"):
+            fn = getattr(lib, nm)
+            fn.argtypes = [p(ctypes.c_float), p(ctypes.c_uint8), i64,
+                           ctypes.c_float, i32]
         lib.fifo_create.restype = ctypes.c_void_p
         lib.fifo_create.argtypes = [i64, i64]
         lib.fifo_destroy.argtypes = [ctypes.c_void_p]
@@ -82,6 +86,23 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def pack_wire(iq: np.ndarray, fmt: str, scale: float) -> Optional[np.ndarray]:
+    """Native wire-format packer (ops.unpack formats); None if the native
+    library is unavailable (callers fall back to the NumPy packer)."""
+    lib = _load()
+    if lib is None:
+        return None
+    iq = np.ascontiguousarray(iq, np.float32)
+    n = iq.shape[0]
+    nbytes = {"iq8": 2 * n, "iq4": n, "sm2": n // 2, "iq1": n // 4}[fmt]
+    out = np.empty(nbytes, np.uint8)
+    getattr(lib, f"pack_{fmt}")(
+        iq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, ctypes.c_float(scale), _threads())
+    return out
 
 
 def _threads() -> int:

@@ -60,9 +60,24 @@ def pack(iq: np.ndarray, fmt: str, scale: float = 1.0) -> np.ndarray:
     scale multiplies the input before quantization; for noise-dominated
     GNSS IF samples with std sigma, scale ~ 1/sigma puts the sm2
     mag threshold at ~1 sigma (near-optimal 2-bit quantizer).
+
+    Uses the native multithreaded packer when the library is available
+    (a live producer packs at the radio rate); NumPy otherwise —
+    bit-identical outputs either way (tests pin this).
     """
+    n = np.asarray(iq).shape[0]
+    if fmt in ("sm2", "iq1"):
+        den = {"sm2": 2, "iq1": 4}[fmt]
+        if n % den:
+            raise ValueError(f"{fmt} needs a multiple-of-{den} count")
+    if fmt in WIRE_FORMATS:
+        from gnsstpu import native
+
+        out = native.pack_wire(np.asarray(iq, np.float32), fmt,
+                               float(scale))
+        if out is not None:
+            return out
     x = np.asarray(iq, np.float32) * np.float32(scale)
-    n = x.shape[0]
     if fmt == "iq8":
         return np.clip(np.round(x), -127, 127).astype(np.int8).reshape(
             -1).view(np.uint8)

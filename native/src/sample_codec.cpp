@@ -12,6 +12,7 @@
 // memory-bound; threads saturate host memory bandwidth while the TPU
 // computes the previous chunk).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -95,6 +96,92 @@ void decode_packed_4bit(const uint16_t* in, float* out, int64_t n_words,
         out[2 * i] = sign_mag4((v >> (4 * k)) & 0xFu);
         out[2 * i + 1] = 0.0f;
       }
+    }
+  });
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wire-format packers: float iq32 -> 1-4 bit host->device wire bytes
+// (gnsstpu.ops.unpack formats). A live producer packs at the radio rate
+// while the TPU tracks the previous superepoch, so this is on the
+// real-time path; quantization must match the NumPy reference
+// bit-for-bit (nearbyint = round-half-to-even, like np.round).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Interleaved int8 I,Q ('iq8'): clip(round(x*scale), -127, 127).
+void pack_iq8(const float* iq, uint8_t* out, int64_t n, float scale,
+              int threads) {
+  parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      for (int k = 0; k < 2; ++k) {
+        float v = std::nearbyint(iq[2 * i + k] * scale);
+        v = v < -127.0f ? -127.0f : (v > 127.0f ? 127.0f : v);
+        out[2 * i + k] = static_cast<uint8_t>(static_cast<int8_t>(v));
+      }
+    }
+  });
+}
+
+// Two's-complement nibbles ('iq4'): I low nibble, Q high; 1 byte/pair.
+void pack_iq4(const float* iq, uint8_t* out, int64_t n, float scale,
+              int threads) {
+  parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int qi[2];
+      for (int k = 0; k < 2; ++k) {
+        float v = std::nearbyint(iq[2 * i + k] * scale);
+        v = v < -8.0f ? -8.0f : (v > 7.0f ? 7.0f : v);
+        qi[k] = static_cast<int>(v);
+      }
+      out[i] = static_cast<uint8_t>((qi[0] & 0xF) | ((qi[1] & 0xF) << 4));
+    }
+  });
+}
+
+// GN3S-compatible sign/mag 2-bit ('sm2'): 2 sample pairs per byte;
+// per component: sign bit, mag bit (|x*scale| >= 2 -> +-3 else +-1).
+void pack_sm2(const float* iq, uint8_t* out, int64_t n_pairs, float scale,
+              int threads) {
+  int64_t n_bytes = n_pairs / 2;
+  parallel_for(n_bytes, threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      uint8_t byte = 0;
+      for (int half = 0; half < 2; ++half) {
+        int64_t s = 2 * b + half;
+        uint8_t nib = 0;
+        for (int k = 0; k < 2; ++k) {
+          float v = iq[2 * s + k] * scale;
+          uint8_t sign = v < 0.0f ? 1u : 0u;
+          uint8_t mag = (v < 0.0f ? -v : v) >= 2.0f ? 1u : 0u;
+          nib |= static_cast<uint8_t>((sign | (mag << 1)) << (2 * k));
+        }
+        byte |= static_cast<uint8_t>(nib << (4 * half));
+      }
+      out[b] = byte;
+    }
+  });
+}
+
+// Sign-only 1-bit I/Q ('iq1'): 4 sample pairs per byte.
+void pack_iq1(const float* iq, uint8_t* out, int64_t n_pairs, float scale,
+              int threads) {
+  int64_t n_bytes = n_pairs / 4;
+  parallel_for(n_bytes, threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      uint8_t byte = 0;
+      for (int q = 0; q < 4; ++q) {
+        int64_t s = 4 * b + q;
+        uint8_t two = 0;
+        for (int k = 0; k < 2; ++k) {
+          if (iq[2 * s + k] * scale < 0.0f) two |= 1u << k;
+        }
+        byte |= static_cast<uint8_t>(two << (2 * q));
+      }
+      out[b] = byte;
     }
   });
 }

@@ -49,3 +49,26 @@ def test_quantized_signal_still_correlates(fmt):
     assert 9 in res.detected_prns()
     ref = acquire(samples, sig, acq)
     assert abs(int(res.code_phase[8]) - int(ref.code_phase[8])) <= 1
+
+
+def test_native_packer_matches_numpy():
+    """The native multithreaded wire packers must be bit-identical to
+    the NumPy reference (including round-half-to-even on iq8/iq4)."""
+    from gnsstpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    iq = rng.normal(0.0, 1.4, (8192, 2)).astype(np.float32)
+    # Exercise halfway values for the rounding convention.
+    iq[:16, 0] = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 3.5, -3.5,
+                           4.5, -4.5, 7.5, -8.5, 126.5, -126.5, 127.5,
+                           -127.5], np.float32)
+    for fmt in ("iq8", "iq4", "sm2", "iq1"):
+        nat = native.pack_wire(iq, fmt, 1.0)
+        assert nat is not None
+        import unittest.mock as mock
+        with mock.patch.object(native, "pack_wire",
+                               lambda *a, **k: None):
+            ref = up.pack(iq, fmt, 1.0)
+        np.testing.assert_array_equal(nat, ref, err_msg=fmt)

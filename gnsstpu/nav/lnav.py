@@ -211,18 +211,30 @@ def encode_subframe(eph: Ephemeris, sf_id: int, tow_next: int,
 
 
 def encode_frames(eph: Ephemeris, tow0: int = 0, n_subframes: int = 5,
-                  first_sf: int = 1) -> np.ndarray:
+                  first_sf: int = 1,
+                  pages: Optional[List[List[np.ndarray]]] = None
+                  ) -> np.ndarray:
     """Encode a stream of subframes cycling 1..5, as ±1 bits.
 
     tow0: truncated TOW (6 s units) of the start of the first subframe.
+    pages: optional subframe-4/5 content — a list of 8×24-bit word sets
+    (nav.almanac.almanac_page_words / iono_utc_page_words) consumed
+    cyclically each time a subframe 4 or 5 comes up (the broadcast
+    almanac rotation); default 4/5 content is zero pages.
     Returns float array of ±1, length 300*n_subframes.
     """
     d29s = d30s = 0
     bits = []
     sf = first_sf
+    page_i = 0
     for k in range(n_subframes):
         tow_next = (tow0 + k + 1) % 100800
-        sfbits, d29s, d30s = encode_subframe(eph, sf, tow_next, d29s, d30s)
+        pw = None
+        if pages and sf in (4, 5):
+            pw = pages[page_i % len(pages)]
+            page_i += 1
+        sfbits, d29s, d30s = encode_subframe(eph, sf, tow_next, d29s,
+                                             d30s, page_words=pw)
         bits.append(sfbits)
         sf = sf % 5 + 1
     b = np.concatenate(bits).astype(np.float64)

@@ -76,7 +76,7 @@ class StatusBoard:
     or a whole JSONL file, then render().
     """
 
-    PAGES = ("channels", "pvt", "health", "events", "eph")
+    PAGES = ("channels", "pvt", "health", "events", "eph", "alm")
 
     def __init__(self, n_events: int = 6):
         self.channels: Dict[int, dict] = {}
@@ -86,6 +86,7 @@ class StatusBoard:
         self.stages: Dict[str, dict] = {}     # stage -> {last, max, n, sum}
         self.source: Optional[dict] = None    # stream FIFO counters
         self.ephs: Dict[int, dict] = {}       # prn -> decoded orbit fields
+        self.almanac: Optional[dict] = None   # latest almanac_decoded event
         self.n_events = n_events
         self.epoch_ms = 0
 
@@ -113,6 +114,8 @@ class StatusBoard:
         elif t == "event":
             if rec.get("what") == "ephemeris_decoded":
                 self.ephs[rec["prn"]] = rec
+            elif rec.get("what") == "almanac_decoded":
+                self.almanac = rec
             self.events.append(rec)
             if rec.get("what") == "channel_drop":
                 ch = self.channels.get(rec.get("chan", -1))
@@ -136,6 +139,17 @@ class StatusBoard:
             return "\n".join([hdr] + self._render_events(24))
         if page == "eph":
             return "\n".join([hdr] + self._render_ephs())
+        if page == "alm":
+            if self.almanac is None:
+                return "\n".join([hdr, " (no almanac decoded yet)"])
+            a = self.almanac
+            return "\n".join([
+                hdr,
+                f" entries: {a.get('entries')}",
+                f" latest new: {a.get('new')}  from prn "
+                f"{a.get('prn_src')} @ {a.get('epoch_ms')} ms",
+                f" iono/UTC page: "
+                f"{'yes' if a.get('iono_utc') else 'no'}"])
         lines = [hdr, " ch  prn  state      C/N0   doppler    PLL"]
         for chan in sorted(self.channels):
             c = self.channels[chan]

@@ -122,6 +122,12 @@ class ChannelManager:
         self.navigator = navigator
         self.sync_every = max(1, int(sync_every))
         self._stop = False
+        # SV_Select warm start (sv_select.cpp SetupRequest): the live
+        # navigator publishes predicted-visible PRNs from a decoded
+        # almanac + fix; searches then skip almanac-known PRNs that are
+        # below the mask (unknown PRNs stay searchable).
+        self.warm_visible: Optional[set] = None
+        self.warm_known: set = set()
 
         if wire == "auto":
             wire = (getattr(source, "wire_format", None)
@@ -237,6 +243,13 @@ class ChannelManager:
     def _tracked_prns(self) -> set:
         return {s.prn for s in self.slots if s.state is not SlotState.IDLE}
 
+    def _want_prns(self) -> list:
+        want = [p for p in self.pool if p not in self._tracked_prns()]
+        if self.warm_visible is not None:
+            want = [p for p in want
+                    if p not in self.warm_known or p in self.warm_visible]
+        return want
+
     # --- sample reads (wire-format aware) ---
 
     def _read_chunk(self, start: int, count: int):
@@ -262,7 +275,7 @@ class ChannelManager:
         nothing is tracking yet, or for FDMA signals)."""
         idle = [i for i, s in enumerate(self.slots)
                 if s.state is SlotState.IDLE]
-        want = [p for p in self.pool if p not in self._tracked_prns()]
+        want = self._want_prns()
         if not idle or not want:
             return
         acq_cfg = dataclasses.replace(self.cfg.acq, prn_list=tuple(want))
@@ -515,7 +528,7 @@ class ChannelManager:
         self._state = state
 
         acq_fut = None
-        want = [p for p in self.pool if p not in self._tracked_prns()]
+        want = self._want_prns()
         if acq_due and want and not fdma \
                 and chunk_len >= self._acq_samples_needed_chunk():
             if self._acq_chunk_fn is None:

@@ -133,6 +133,13 @@ class OnlineNavigator:
         self._ekf_fed_t = set()
         self._ekf_last_t: Optional[float] = None
         self.ekf_track = []
+        # Live almanac (GPS subframe 4/5 pages; reference Ephemeris
+        # thread ephemeris.cpp:425,314) + SV_Select-style warm-start
+        # visibility feedback to the manager.
+        self.almanac: Dict[int, object] = {}
+        self.iono_utc = None
+        self._next_alm = 12000
+        self.alm_retry_ms = 6000
 
     # -- called by the manager at epoch boundaries --
 
@@ -147,7 +154,61 @@ class OnlineNavigator:
                               signal=self.sig.signal)
             return
         self._try_decodes(mgr, epoch_ms)
+        if self.sig.signal == "gps_l1ca":
+            self._try_almanac(mgr, epoch_ms)
         self._navigate(mgr, epoch_ms)
+
+    def _try_almanac(self, mgr, epoch_ms: int) -> None:
+        """Collect broadcast almanac + iono/UTC pages from any synced
+        channel's bit stream (Ephemeris-thread role, ephemeris.cpp:425);
+        with a position fix, feed SV_Select-style visibility back to the
+        manager's acquisition scheduler (sv_select.cpp SV_Predict)."""
+        if epoch_ms < self._next_alm:
+            return
+        self._next_alm = epoch_ms + self.alm_retry_ms
+        from gnsstpu.nav import almanac as alm_mod
+        from gnsstpu.nav import frame
+
+        bit_len = mgr.sd.bit_len_codes
+        for s in mgr.slots:
+            if not s.prn:
+                continue
+            _, ip = self._stream(mgr, s.prn)
+            if len(ip) < 4 * 6000:          # >= ~4 subframes of bits
+                continue
+            sync = frame.find_preamble(ip, bit_len)
+            if not sync.found:
+                continue
+            bits = frame.bits_from(ip, sync, bit_len)
+            alms, iu = alm_mod.decode_pages(bits,
+                                            d30_star=sync.d30_star)
+            new = sorted(p for p in alms if p not in self.almanac)
+            self.almanac.update(alms)
+            if iu is not None:
+                self.iono_utc = iu
+            if new:
+                mgr.tlm.event(epoch_ms, "almanac_decoded", prn_src=s.prn,
+                              new=new, entries=sorted(self.almanac),
+                              iono_utc=self.iono_utc is not None)
+            break
+        # Warm-start visibility: almanac + last fix -> predicted-visible
+        # set; the manager masks almanac-known-but-not-visible PRNs out
+        # of its searches.
+        if self.almanac and self.solutions:
+            from gnsstpu.nav import visibility
+
+            last = self.solutions[-1]
+            rx = np.array([last["x"], last["y"], last["z"]])
+            # Satellite time now ~ latest anchor TOW + elapsed stream
+            # time; visibility tolerates tens of seconds of slack.
+            t = (max(self.decoded[p][1] for p in self.decoded)
+                 + epoch_ms * 1e-3)
+            ephs = {p: a.to_ephemeris() for p, a in self.almanac.items()}
+            vis = set(visibility.visible_prns(
+                ephs, t, rx, carrier_hz=mgr.sd.carrier_freq(1),
+                mask_deg=self.nav.elevation_mask_deg))
+            mgr.warm_visible = vis
+            mgr.warm_known = set(self.almanac)
 
     def _stream(self, mgr, prn: int):
         h = mgr.history[prn]

@@ -113,3 +113,105 @@ def test_almanac_visibility_warm_start():
     # Receiver on the opposite side of the Earth: not visible.
     preds2 = visibility.predict({3: eph}, t, -rx, carrier_hz=1575.42e6)
     assert not preds2[0].visible
+
+
+def test_live_almanac_decode_and_warm_start(tmp_path):
+    """OnlineNavigator._try_almanac: collects subframe 4/5 pages from a
+    channel's accumulated prompt history (Ephemeris-thread role), emits
+    the almanac_decoded event, and feeds SV_Select-style warm
+    visibility back to the manager — almanac-known PRNs below the mask
+    drop out of the acquisition want-list while unknown PRNs stay."""
+    import io
+    import json
+
+    import tests.test_full_chain as tfc
+    from gnsstpu.config import NavConfig, SignalConfig
+    from gnsstpu.nav import geodesy, lnav
+    from gnsstpu.nav.orbits import satpos
+    from gnsstpu.nav.types import Ephemeris
+    from gnsstpu.runtime.navigator import OnlineNavigator
+    from gnsstpu.runtime.console import StatusBoard
+    from gnsstpu.runtime.telemetry import Telemetry
+    from gnsstpu.signals.registry import get_signal
+
+    sig = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+    # Constellation candidates; 2 highest = "visible", 1 lowest = below
+    # the mask from the receiver position.
+    ephs = []
+    for k in range(24):
+        d = dict(tfc.BASE_EPH)
+        d["M_0"] = (tfc.BASE_EPH["M_0"] + 2.1 * k) % (2 * np.pi) - np.pi
+        d["omega_0"] = (tfc.BASE_EPH["omega_0"] + 1.1 * k) \
+            % (2 * np.pi) - np.pi
+        d["i_0"] = 0.93 + 0.03 * (k % 3)
+        ephs.append(Ephemeris(**d))
+    pos, _ = satpos(tfc.TOW0_6S * 6.0, ephs)
+    _, el, _ = geodesy.topocent(tfc.RECV_ECEF, pos - tfc.RECV_ECEF)
+    hi = list(np.argsort(-el)[:2])
+    lo = int(np.argsort(el)[0])
+    assert el[lo] < 0.0
+
+    def to_alm(k):
+        e = ephs[k]
+        return Almanac(prn=k + 1, e=e.e, t_oa=tfc.TOW0_6S * 6.0,
+                       delta_i=e.i_0 - 0.30 * np.pi,
+                       omegaDot=e.omegaDot, health=0, sqrtA=e.sqrtA,
+                       omega_0=e.omega_0, omega=e.omega, M_0=e.M_0,
+                       a_f0=0.0, a_f1=0.0)
+
+    pages = [alm_mod.almanac_page_words(to_alm(k)) for k in hi + [lo]]
+    # Bit stream: subframes 1..5 twice, with the almanac pages cycling
+    # through the 4/5 slots; prompt stream = bits at 20 ms/bit.
+    syms = lnav.encode_frames(Ephemeris(**tfc.BASE_EPH),
+                              tow0=tfc.TOW0_6S, n_subframes=10,
+                              pages=pages)
+    ip = np.repeat(syms, 20) * 800.0
+
+    class SlotStub:
+        prn = 7
+
+    class MgrStub:
+        slots = [SlotStub()]
+        sd = get_signal("gps_l1ca")
+        history = {7: {"i_p": [ip], "q_p": [], "carr_doppler": [],
+                       "abs_sample": [], "start_ms": 0}}
+        warm_visible = None
+        warm_known = set()
+
+    sink = io.StringIO()
+    MgrStub.tlm = Telemetry(sink=sink)
+    navr = OnlineNavigator(sig, NavConfig(elevation_mask_deg=10.0))
+    # Pretend a fix exists so the visibility feedback runs.
+    navr.solutions.append({"x": tfc.RECV_ECEF[0], "y": tfc.RECV_ECEF[1],
+                           "z": tfc.RECV_ECEF[2]})
+    navr.decoded[7] = (0, tfc.TOW0_6S * 6.0, None)
+    mgr = MgrStub()
+    navr._try_almanac(mgr, epoch_ms=30000)
+
+    want_prns = sorted(p + 1 for p in hi + [lo])
+    assert sorted(navr.almanac) == want_prns
+    assert mgr.warm_known == set(want_prns)
+    assert (lo + 1) not in mgr.warm_visible
+    assert {h + 1 for h in hi} <= mgr.warm_visible
+
+    # Event went out; the console 'alm' page renders it.
+    evs = [json.loads(l) for l in sink.getvalue().splitlines()]
+    alm_ev = [e for e in evs if e.get("what") == "almanac_decoded"]
+    assert len(alm_ev) == 1 and sorted(alm_ev[0]["entries"]) == want_prns
+    b = StatusBoard()
+    for e in evs:
+        b.update(e)
+    page = b.render("alm")
+    assert "entries" in page and str(lo + 1) in page
+
+    # Manager want-list honors the warm mask (unknown PRNs unaffected).
+    from gnsstpu.runtime.manager import ChannelManager
+    want = ChannelManager._want_prns.__get__(
+        type("M", (), {"pool": want_prns + [31],
+                       "_tracked_prns": lambda self: set(),
+                       "warm_visible": mgr.warm_visible,
+                       "warm_known": mgr.warm_known})())
+    got = want()
+    assert (lo + 1) not in got and 31 in got
+    for h in hi:
+        assert (h + 1) in got

@@ -332,14 +332,22 @@ class SocketStreamProducer:
 
     def __init__(self, fifo, block_samples: int, fmt: str = "i8_iq",
                  host: str = "127.0.0.1", port: int = 0,
-                 timeout_s: float = 10.0):
+                 timeout_s: float = 10.0, raw: bool = False):
         import socket
         import threading
 
         self.fifo = fifo
         self.block = int(block_samples)
         self.fmt = fmt
-        self._bps = _format_bytes_per_sample(fmt)
+        # raw=True: datagrams carry an ops.unpack wire format and the
+        # producer pushes the BYTES untouched (PackedStreamSource serves
+        # them; the device unpacks). raw=False decodes to f32 blocks.
+        self.raw = raw
+        if raw:
+            from gnsstpu.ops import unpack as up
+            self._raw_bpb = up.wire_bytes(fmt, self.block)
+        else:
+            self._bps = _format_bytes_per_sample(fmt)
         self.timeout_s = timeout_s
         self._stop = False
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -361,7 +369,7 @@ class SocketStreamProducer:
         import time as _time
 
         residue = b""
-        blk_bytes = self.block * self._bps
+        blk_bytes = self._raw_bpb if self.raw else self.block * self._bps
         deadline = _time.monotonic() + self.timeout_s
         try:
             while not self._stop:
@@ -376,15 +384,109 @@ class SocketStreamProducer:
                 deadline = _time.monotonic() + self.timeout_s
                 residue += data
                 while len(residue) >= blk_bytes:
-                    blk = decode_samples(residue[:blk_bytes], self.fmt)
+                    if self.raw:
+                        blk = np.frombuffer(residue[:blk_bytes],
+                                            np.uint8)
+                    else:
+                        blk = decode_samples(
+                            residue[:blk_bytes], self.fmt).astype(
+                                np.float32).view(np.uint8).reshape(-1)
                     residue = residue[blk_bytes:]
-                    if self.fifo.push(blk.astype(np.float32)
-                                      .view(np.uint8).reshape(-1),
-                                      timeout_ms=-1) != 1:
+                    if self.fifo.push(blk, timeout_ms=-1) != 1:
                         self.overruns += 1
         finally:
             self.fifo.close()
             self.sock.close()
+
+
+class PackedStreamSource:
+    """Live streaming source that keeps samples in WIRE FORMAT end to
+    end: the producer pushes raw packed bytes (1-4 bit formats,
+    ops.unpack) into the ring FIFO, the history window stores bytes, and
+    the pipelined ChannelManager ships them to the device untouched
+    (device-side unpack). The f32 read() path decodes on demand for
+    host-side consumers (acquisition refinement).
+
+    This composes the two halves of the live design: the FIFO fabric
+    (reference objects/fifo.cpp) and the packed host->device wire — a
+    2-bit radio's bytes cross the host exactly once.
+    """
+
+    def __init__(self, fifo, block_samples: int, fmt: str = "sm2",
+                 history_blocks: int = 1024, timeout_s: float = 10.0):
+        from gnsstpu.ops import unpack as up
+
+        self.fifo = fifo
+        self.wire_format = fmt
+        self._fmt = fmt
+        self.block = int(block_samples)
+        if self.block % up.align(fmt):
+            raise ValueError(f"block_samples must align to {fmt}")
+        self._bpb = up.wire_bytes(fmt, self.block)   # bytes per block
+        self._spb = up.samples_per_byte(fmt)
+        self.hist_blocks = int(history_blocks)
+        self.timeout_s = timeout_s
+        self._hist = np.zeros(self.hist_blocks * self._bpb, np.uint8)
+        self._end = 0            # absolute SAMPLES consumed from the FIFO
+        self._eos = False
+
+    def _pump_until(self, need_end_samples: int) -> None:
+        import time as _time
+
+        deadline = _time.monotonic() + self.timeout_s
+        H = len(self._hist)
+        while self._end < need_end_samples and not self._eos:
+            r, buf = self.fifo.pop(timeout_ms=200)
+            if r == 1:
+                pos = int(self._end / self._spb) % H
+                n1 = min(self._bpb, H - pos)
+                self._hist[pos: pos + n1] = buf[:n1]
+                if n1 < self._bpb:
+                    self._hist[: self._bpb - n1] = buf[n1:]
+                self._end += self.block
+            elif r == -1:
+                self._eos = True
+            elif _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"stream stalled: no samples for {self.timeout_s}s "
+                    f"(at {self._end}, need {need_end_samples})")
+
+    def read_packed(self, start: int, count: int) -> np.ndarray:
+        from gnsstpu.ops import unpack as up
+
+        a = up.align(self._fmt)
+        if start % a or count % a:
+            raise ValueError(f"unaligned packed read ({start}, {count})")
+        self._pump_until(start + count)
+        H = len(self._hist)
+        out = np.zeros(int(count / self._spb), np.uint8)
+        lo = max(start, self._end - H * int(self._spb), 0)
+        hi = min(start + count, self._end)
+        if hi > lo:
+            b0 = int(lo / self._spb)
+            b1 = int(hi / self._spb)
+            idx = np.arange(b0, b1) % H
+            out[b0 - int(start / self._spb):
+                b1 - int(start / self._spb)] = self._hist[idx]
+        return out
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        from gnsstpu.ops import unpack as up
+
+        a = up.align(self._fmt)
+        s0 = start - start % a
+        n = count + (start - s0)
+        n += (-n) % a
+        dec = up.unpack_np(self.read_packed(s0, n), self._fmt)
+        return dec[start - s0: start - s0 + count]
+
+    def stats(self) -> dict:
+        s = dict(self.fifo.stats())
+        s["consumed_samples"] = self._end
+        return s
+
+    def __len__(self) -> int:
+        return 1 << 62
 
 
 class FileStreamProducer:

@@ -171,3 +171,64 @@ def test_manager_runs_off_udp_socket_stream():
     health = [json.loads(l) for l in sink.getvalue().splitlines()
               if '"task_health"' in l and '"source"' in l]
     assert health and health[-1]["pushed"] >= 800
+
+
+def test_packed_stream_udp_to_manager():
+    """End-to-end wire-format streaming: a 2-bit sm2 radio's raw bytes
+    cross UDP -> SocketStreamProducer(raw) -> ring FIFO (bytes) ->
+    PackedStreamSource -> pipelined manager, which ships them to the
+    device UNTOUCHED (device-side unpack). The host never decodes the
+    hot path."""
+    import socket
+
+    from gnsstpu.ops import unpack as up
+    from gnsstpu.runtime.sources import (PackedStreamSource,
+                                         SocketStreamProducer)
+
+    sats = [SatParams(prn=6, doppler_hz=-1100.0, code_phase_chips=512.5,
+                      cn0_dbhz=47.0)]
+    n_ms = 900
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=12)
+    samples = np.asarray(sim.generate(n_ms + 40))
+    wire = up.pack(samples, "sm2", scale=1.0)     # raw radio bytes
+
+    blk = SIG.samples_per_code
+    blk_bytes = up.wire_bytes("sm2", blk)
+    fifo = native.RingFifo(depth=1024, block_bytes=blk_bytes)
+    prod = SocketStreamProducer(fifo, blk, fmt="sm2", raw=True,
+                                timeout_s=8.0).start()
+    src = PackedStreamSource(fifo, blk, fmt="sm2",
+                             history_blocks=1024, timeout_s=8.0)
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        raw = wire.tobytes()
+        step = 1472
+        for i in range(0, len(raw), step):
+            tx.sendto(raw[i: i + step], ("127.0.0.1", prod.port))
+            if i % (step * 16) == 0:
+                time.sleep(0.002)
+        time.sleep(0.1)
+        tx.sendto(b"", ("127.0.0.1", prod.port))
+        tx.close()
+
+    t = threading.Thread(target=send)
+    t.start()
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(6,), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0), n_channels=1)
+    sink = io.StringIO()
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=100, reacq_period_ms=10 ** 9,
+                         prn_pool=[6], sync_every=2)
+    assert mgr.wire == "sm2"                     # packed path engaged
+    recs = mgr.run(800)
+    t.join()
+    prod.stop()
+
+    last = recs[-1]
+    assert int(last.prn[0]) == 6
+    assert abs(last.doppler_hz[0] + 1100.0) < 5.0
+    assert last.cn0_dbhz[0] > 40.0

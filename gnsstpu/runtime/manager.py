@@ -227,7 +227,12 @@ class ChannelManager:
         if self.eng.has_data_component:
             hist["i_p2"] = []
             hist["q_p2"] = []
-        self.history.setdefault(prn, hist)
+        # A re-acquired PRN's stream RESTARTS: continuing the old history
+        # across the tracking gap would leave a discontinuity (and the
+        # pre-drop garbage) in the bit stream that breaks frame sync and
+        # pseudorange alignment downstream. start_ms changing tells the
+        # navigator to invalidate its anchors for this PRN.
+        self.history[prn] = hist
         self.tlm.event(epoch_ms, "channel_start", chan=slot_idx, prn=prn,
                        code_phase=code_phase,
                        doppler_hz=round(float(doppler_hz), 1))

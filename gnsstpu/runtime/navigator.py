@@ -122,6 +122,7 @@ class OnlineNavigator:
         self._warned_unsupported = False
         self.decoded: Dict[int, Tuple[int, float, object]] = {}
         self._next_try: Dict[int, int] = {}
+        self._hist_start: Dict[int, int] = {}
         self._next_nav = 0
         self._emitted_t = set()
         self.solutions = []
@@ -219,7 +220,17 @@ class OnlineNavigator:
         bit_len = mgr.sd.bit_len_codes
         for s in mgr.slots:
             prn = s.prn
-            if not prn or prn in self.decoded:
+            if not prn:
+                continue
+            # Re-acquired channel: its history restarted (start_ms
+            # moved), so the old anchor indexes are meaningless —
+            # invalidate and decode afresh.
+            start = mgr.history[prn]["start_ms"]
+            if self._hist_start.get(prn, start) != start:
+                self.decoded.pop(prn, None)
+                self._next_try.pop(prn, None)
+            self._hist_start[prn] = start
+            if prn in self.decoded:
                 continue
             if epoch_ms < self._next_try.get(prn, self._min_wall_ms):
                 continue

@@ -189,3 +189,53 @@ def test_manager_online_navigation_galileo():
     pvts = [json.loads(l) for l in sink.getvalue().splitlines()
             if '"type": "pvt"' in l]
     assert len(pvts) == len(sols)
+
+
+def test_manager_online_navigation_beidou():
+    """LIVE BeiDou receiver parity (mirrors the GPS/GLONASS/Galileo live
+    tests): ChannelManager + OnlineNavigator decode D1 ephemerides from
+    the accumulating NH(20)-wiped history mid-run and stream LSQ
+    position fixes as pvt telemetry."""
+    from tests.test_beidou import (BD_NMS, BD_RECV, BD_SOW0,
+                                   make_bd_constellation)
+    from gnsstpu.sim.scenario import build_scenario_beidou
+
+    sig = SignalConfig(signal="beidou_b1i", if_freq=0.0, fs=4.096e6,
+                       code_freq=2.046e6, code_length=2046,
+                       complex_iq=True)
+    # D1 ephemerides span subframes 1-3 = 18 s, so a channel that needs
+    # one re-acquisition still has to fit sync + 18 s of clean history.
+    n_ms = BD_NMS + 8000
+    ephs = make_bd_constellation(5)
+    sats, qephs = build_scenario_beidou(
+        sig, ephs, BD_RECV, BD_SOW0, duration_s=n_ms / 1000.0,
+        cn0_dbhz=48.0, n_subframes=5)
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=17)
+    src = SimSource(sim, n_ms + 60)
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=12e3, coherent_ms=1, threshold=2.0,
+                      doppler_step=125.0, prn_list=tuple(sorted(qephs))),
+        track=TrackConfig(dll_bw=1.5, pll_bw=25.0, fll_bw=150.0,
+                          fll_disc="atan",
+                          aid_div=1561.098e6 / 2.046e6),
+        n_channels=5)
+    sink = io.StringIO()
+    navr = OnlineNavigator(
+        sig, NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
+                       use_tropo=False), retry_ms=500)
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+                         epoch_ms=100, reacq_period_ms=2000,
+                         confirm_epochs=12, navigator=navr, sync_every=4)
+    mgr.run(n_ms)
+
+    assert sorted(navr.decoded) == sorted(qephs)
+    sols = navr.solutions
+    assert len(sols) >= 4, f"only {len(sols)} online BeiDou fixes"
+    err = np.array([np.linalg.norm([s["x"] - BD_RECV[0],
+                                    s["y"] - BD_RECV[1],
+                                    s["z"] - BD_RECV[2]]) for s in sols])
+    assert np.mean(err) < 30.0, f"mean 3D error {np.mean(err):.1f} m"
+    pvts = [json.loads(l) for l in sink.getvalue().splitlines()
+            if '"type": "pvt"' in l]
+    assert len(pvts) == len(sols)

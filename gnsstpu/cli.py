@@ -18,7 +18,6 @@ Usage: python -m gnsstpu <subcommand> [...], see --help per subcommand.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 

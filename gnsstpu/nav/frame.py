@@ -15,7 +15,7 @@ correlation is a single np.correlate over the whole run.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ decode(encode(eph)) must round-trip bit-exactly. All polarity-invariant
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ Host-side float64 NumPy, vectorized over satellites.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

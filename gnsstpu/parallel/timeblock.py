@@ -24,7 +24,6 @@ Power is formed only after the psum, preserving full coherent gain.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ pipe, or a test can drive them identically.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 from typing import Dict, IO, List, Optional, Union

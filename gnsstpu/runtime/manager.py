@@ -320,8 +320,6 @@ class ChannelManager:
         """Jitted cold-search over the leading window of an already
         uploaded device chunk — the pipelined path's reacquisition rides
         the superepoch's transfer instead of paying its own (CDMA only)."""
-        import functools
-
         from gnsstpu.acquisition.search import _windows_of
         from gnsstpu.ops import fft_acquire
 

@@ -14,7 +14,6 @@ from typing import Protocol
 
 import numpy as np
 
-from gnsstpu.config import SignalConfig
 
 
 class SampleSource(Protocol):

@@ -19,7 +19,7 @@ Timing model (see also pvt.navigate):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

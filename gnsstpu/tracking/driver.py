@@ -12,7 +12,7 @@ float64 absolute-sample bookkeeping that pseudoranges need
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ import numpy as np
 
 from gnsstpu.config import SignalConfig, TrackConfig
 from gnsstpu.ops import nco
-from gnsstpu.ops.correlate import CorrState
 from gnsstpu.ops.dualcode import DualBlockOut, correlate_block_dual
 from gnsstpu.tracking import loop_filters
 from gnsstpu.tracking.driver import ChannelInit

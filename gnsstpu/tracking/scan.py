@@ -20,7 +20,7 @@ import numpy as np
 
 from gnsstpu.config import SignalConfig, TrackConfig
 from gnsstpu.ops import nco
-from gnsstpu.ops.correlate import BlockOut, CorrState, correlate_block
+from gnsstpu.ops.correlate import CorrState, correlate_block
 from gnsstpu.tracking import loop_filters
 
 

@@ -364,7 +364,7 @@ def main(argv=None) -> int:
     p.add_argument("--interval", type=float, default=1.0)
     p.add_argument("--page", default="channels",
                    choices=["channels", "pvt", "health", "events", "eph",
-                            "all"],
+                            "alm", "all"],
                    help="console page (gse notebook tab equivalent)")
     p.add_argument("--interactive", action="store_true",
                    help="curses ground station (live pages, sparklines, "

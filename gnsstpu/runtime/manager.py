@@ -258,8 +258,9 @@ class ChannelManager:
     # --- sample reads (wire-format aware) ---
 
     def _read_chunk(self, start: int, count: int):
-        """(host_buffer, n_lead_for_eod_check). Packed wire sources
-        return raw bytes; others float/int [count, 2]."""
+        """Read one superepoch's samples: packed wire sources return raw
+        bytes, others float/int [count, 2] (end-of-data detection happens
+        in _run_superepoch)."""
         if self.wire is not None:
             return self.source.read_packed(start, count)
         return self.source.read(start, count)
@@ -531,12 +532,22 @@ class ChannelManager:
         self._state = state
 
         acq_fut = None
+        acq_host_fallback = False
         want = self._want_prns()
-        if acq_due and want and not fdma \
-                and chunk_len >= self._acq_samples_needed_chunk():
-            if self._acq_chunk_fn is None:
-                self._acq_chunk_fn = self._make_acq_chunk_fn()
-            acq_fut = self._acq_chunk_fn(chunk_dev)
+        have_idle = any(s.state is SlotState.IDLE for s in self.slots)
+        if acq_due and want and have_idle:
+            if not fdma and chunk_len >= self._acq_samples_needed_chunk():
+                if self._acq_chunk_fn is None:
+                    self._acq_chunk_fn = self._make_acq_chunk_fn()
+                acq_fut = self._acq_chunk_fn(chunk_dev)
+            else:
+                # Chunk too short for the configured search (e.g. a long
+                # weak-tier window) or FDMA: fall back to the host-path
+                # search after supervision rather than silently never
+                # reacquiring.
+                acq_host_fallback = True
+            self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
+        elif acq_due:
             self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
 
         # Bulk readback: K epochs packed into two device arrays = one
@@ -586,7 +597,7 @@ class ChannelManager:
                 streams=streams)
             pos = ends[-1]
         self._abs_pos = pos
-        self._cursor = base + k * self.epoch_ms * spc
+        self._cursor = base + k * self._espc
         self._last_progress = time.monotonic()
         self.tlm.task_health(epoch_ms0, "assess",
                              time.perf_counter() - t_sup0)
@@ -594,6 +605,11 @@ class ChannelManager:
         if acq_fut is not None:
             self._finish_chunk_acq(acq_fut, want, base,
                                    (e0 + k) * self.epoch_ms)
+        elif acq_host_fallback:
+            t0 = time.perf_counter()
+            self._try_acquire((e0 + k) * self.epoch_ms)
+            self.tlm.task_health((e0 + k) * self.epoch_ms, "acquire",
+                                 time.perf_counter() - t0)
         return True
 
     def _supervise_epoch(self, epoch_ms: int, status, *, ip, qp, rem,

@@ -195,7 +195,7 @@ class OnlineNavigator:
         # Warm-start visibility: almanac + last fix -> predicted-visible
         # set; the manager masks almanac-known-but-not-visible PRNs out
         # of its searches.
-        if self.almanac and self.solutions:
+        if self.almanac and self.solutions and self.decoded:
             from gnsstpu.nav import visibility
 
             last = self.solutions[-1]

@@ -46,7 +46,23 @@ class ArraySource:
         return len(self.samples)
 
 
-class PackedArraySource:
+class _PackedReadMixin:
+    """Decoded f32 read() on top of a read_packed() implementation
+    (host-side consumers: fine-Doppler refinement, host-path
+    acquisition)."""
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        from gnsstpu.ops import unpack as up
+
+        a = up.align(self._fmt)
+        s0 = start - start % a
+        n = count + (start - s0)
+        n += (-n) % a
+        dec = up.unpack_np(self.read_packed(s0, n), self._fmt)
+        return dec[start - s0: start - s0 + count]
+
+
+class PackedArraySource(_PackedReadMixin):
     """In-memory packed wire-format source (ops.unpack formats).
 
     The pipelined ChannelManager detects `wire_format` + `read_packed`
@@ -84,15 +100,6 @@ class PackedArraySource:
         out[max(-b0, 0): max(-b0, 0) + len(seg)] = seg
         return out
 
-    def read(self, start: int, count: int) -> np.ndarray:
-        from gnsstpu.ops import unpack as up
-
-        a = up.align(self._fmt)
-        s0 = start - start % a
-        n = count + (start - s0)
-        n += (-n) % a
-        dec = up.unpack_np(self.read_packed(s0, n), self._fmt)
-        return dec[start - s0: start - s0 + count]
 
     def __len__(self) -> int:
         return self._n
@@ -398,7 +405,7 @@ class SocketStreamProducer:
             self.sock.close()
 
 
-class PackedStreamSource:
+class PackedStreamSource(_PackedReadMixin):
     """Live streaming source that keeps samples in WIRE FORMAT end to
     end: the producer pushes raw packed bytes (1-4 bit formats,
     ops.unpack) into the ring FIFO, the history window stores bytes, and
@@ -459,7 +466,7 @@ class PackedStreamSource:
         self._pump_until(start + count)
         H = len(self._hist)
         out = np.zeros(int(count / self._spb), np.uint8)
-        lo = max(start, self._end - H * int(self._spb), 0)
+        lo = max(start, self._end - int(H * self._spb), 0)
         hi = min(start + count, self._end)
         if hi > lo:
             b0 = int(lo / self._spb)
@@ -469,15 +476,6 @@ class PackedStreamSource:
                 b1 - int(start / self._spb)] = self._hist[idx]
         return out
 
-    def read(self, start: int, count: int) -> np.ndarray:
-        from gnsstpu.ops import unpack as up
-
-        a = up.align(self._fmt)
-        s0 = start - start % a
-        n = count + (start - s0)
-        n += (-n) % a
-        dec = up.unpack_np(self.read_packed(s0, n), self._fmt)
-        return dec[start - s0: start - s0 + count]
 
     def stats(self) -> dict:
         s = dict(self.fifo.stats())

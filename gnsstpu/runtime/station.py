@@ -54,7 +54,7 @@ class GroundStation:
         self.page_idx = 0
         self.input_mode = False
         self.input_buf = ""
-        self.message = "keys: 1-5 pages  TAB next  : command  q quit"
+        self.message = "keys: 1-6 pages  TAB next  : command  q quit"
         self.done = False
         self._pos = 0
         self._hist = hist

@@ -72,3 +72,29 @@ def test_native_packer_matches_numpy():
                                lambda *a, **k: None):
             ref = up.pack(iq, fmt, 1.0)
         np.testing.assert_array_equal(nat, ref, err_msg=fmt)
+
+
+def test_packed_stream_source_iq8_window():
+    """Regression: PackedStreamSource's history-window arithmetic must
+    handle samples_per_byte < 1 (iq8 = 2 bytes/sample) — the window term
+    H*int(spb) truncated to zero and every read returned zeros."""
+    from gnsstpu import native
+    from gnsstpu.runtime.sources import PackedStreamSource
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(4)
+    iq = rng.normal(0, 20.0, (1024, 2)).astype(np.float32)
+    packed = up.pack(iq, "iq8")
+    blk = 256
+    bpb = up.wire_bytes("iq8", blk)
+    fifo = native.RingFifo(depth=8, block_bytes=bpb)
+    for b in range(4):
+        fifo.push(packed[b * bpb:(b + 1) * bpb], timeout_ms=1000)
+    fifo.close()
+    src = PackedStreamSource(fifo, blk, fmt="iq8", history_blocks=8,
+                             timeout_s=2.0)
+    got = src.read_packed(0, 1024)
+    np.testing.assert_array_equal(got, packed)
+    dec = src.read(0, 1024)
+    np.testing.assert_array_equal(dec, up.unpack_np(packed, "iq8"))

@@ -187,7 +187,10 @@ def bench_manager(sig, seconds=12, n_channels=12, epoch_ms=500,
     from gnsstpu.sim import IFSimulator, SatParams
 
     n_ms = seconds * 1000
-    prns = list(range(1, n_channels + 1))
+    # One slot stays idle and two pool PRNs are absent, so every reacq
+    # period dispatches a REAL full cold search (the manager — like the
+    # reference's SV_Select — only searches when a channel is free).
+    prns = list(range(1, n_channels))
     sats = [SatParams(prn=p, doppler_hz=300.0 * (p - 6),
                       code_phase_chips=77.0 * p, cn0_dbhz=47.0)
             for p in prns]
@@ -200,10 +203,11 @@ def bench_manager(sig, seconds=12, n_channels=12, epoch_ms=500,
     # link, unpacked on device.
     src = PackedArraySource(buf, fmt=wire, scale=1.0)
 
+    pool = prns + [n_channels + 1, n_channels + 2]   # 2 absent SVs
     cfg = ReceiverConfig(
         signal=sig,
         acq=AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.4,
-                      prn_list=tuple(prns) + (n_channels + 2,)),
+                      prn_list=tuple(pool)),
         track=TrackConfig(dll_bw=1.0, el_spacing=0.3),
         n_channels=n_channels)
     warm_ms = 2 * sync_every * epoch_ms
@@ -211,7 +215,7 @@ def bench_manager(sig, seconds=12, n_channels=12, epoch_ms=500,
         src, cfg, telemetry=Telemetry(sink=io.StringIO()),
         epoch_ms=epoch_ms, reacq_period_ms=reacq_period_ms,
         sync_every=sync_every,
-        prn_pool=prns + [n_channels + 2])   # one absent SV: reacq runs
+        prn_pool=pool)
     mgr.run(warm_ms)                 # warmup: acquire + compile
     t0 = time.perf_counter()
     recs = mgr.run(n_ms - warm_ms)

@@ -153,3 +153,42 @@ def test_pipelined_chunk_reacquisition():
     assert live == {5, 12}
     i12 = list(last.prn).index(12)
     assert abs(last.doppler_hz[i12] + 1500.0) < 5.0
+
+
+def test_reacq_host_fallback_when_chunk_too_short():
+    """A weak-tier acquisition window longer than the superepoch chunk
+    cannot ride the device chunk; reacquisition must FALL BACK to the
+    host-path search instead of silently never searching again
+    (code-review regression)."""
+    from gnsstpu.acquisition.search import acq_samples_needed
+
+    src = LateSvSource(SIG, SATS, 1600, switch_ms=400)
+    # The reference weak tier (10 ms coherent x 15 noncoherent,
+    # acquisition.cpp:433) needs ~310 ms of samples — longer than a
+    # 100 ms superepoch chunk.
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=2e3, coherent_ms=10, noncoherent=15,
+                      threshold=1.8, prn_list=(5, 12),
+                      fine_doppler_ms=10, doppler_step=100.0),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=3,
+    )
+    sink = io.StringIO()
+    mgr = ChannelManager(
+        src, cfg, telemetry=Telemetry(sink=sink), epoch_ms=100,
+        reacq_period_ms=600, cn0_drop_dbhz=35.0, prn_pool=[5, 12],
+        sync_every=1)
+    assert mgr._chunk_len < acq_samples_needed(SIG, cfg.acq)
+    recs = mgr.run(1400)
+    evs = [json.loads(l) for l in sink.getvalue().splitlines()
+           if '"event"' in l]
+    starts = [e for e in evs if e["what"] == "channel_start"]
+    # PRN 5 acquired cold at 0; PRN 12 appears at 400 ms and must be
+    # picked up by the HOST-path fallback search while 5 tracks.
+    assert any(s["prn"] == 5 and s["epoch_ms"] == 0 for s in starts)
+    late = [s for s in starts if s["prn"] == 12]
+    assert late and late[0]["epoch_ms"] >= 400
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}

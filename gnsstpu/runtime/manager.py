@@ -101,7 +101,8 @@ class ChannelManager:
                  stall_timeout_s: float = 30.0,
                  confirm_epochs: int = 3, confirm_m: int = 2,
                  commands=None, engine: str = "auto", navigator=None,
-                 sync_every: int = 1, wire: str = "auto"):
+                 sync_every: int = 1, wire: str = "auto",
+                 spread_budget_s: float = 900.0):
         self.source = source
         self.cfg = cfg
         self.sig = cfg.signal
@@ -158,8 +159,20 @@ class ChannelManager:
         self._abs_pos = np.zeros(C, np.float64)    # per-slot next sample
         self._cursor = 0                           # epoch base sample
         self._next_reacq_ms = 0
+        # Window slack: per-superepoch code-Doppler drift PLUS the
+        # inter-channel code-phase spread that accumulates over a live
+        # session (channels advance a fixed number of code periods per
+        # epoch at slightly different code rates, <= ~6.4e-6 * fs per
+        # second differential for opposite +-5 kHz Doppler). A channel
+        # that outruns the budget is dropped for re-acquisition
+        # (window_overrun event), which re-anchors it at the stream
+        # head — the self-healing a live receiver needs on multi-hour
+        # runs. History/records grow unboundedly for the life of the
+        # manager (analysis use); cap run length or restart sessions
+        # for multi-hour deployments.
         self._drift_margin = 64 + int(np.ceil(
-            self.sync_every * epoch_ms * 1e-3 * 2e-5 * self.sig.fs))
+            self.sync_every * epoch_ms * 1e-3 * 2e-5 * self.sig.fs
+            + spread_budget_s * 6.4e-6 * self.sig.fs))
         self.records: List[EpochRecord] = []
         self.history: Dict[int, dict] = {}         # prn -> prompt streams
         self._summarize = self._make_summarize()
@@ -286,6 +299,12 @@ class ChannelManager:
             return
         acq_cfg = dataclasses.replace(self.cfg.acq, prn_list=tuple(want))
         need = acq_samples_needed(self.sig, acq_cfg)
+        if self.wire is not None:
+            # Packed sources decode exhausted regions to DC, not zeros.
+            if self._cursor + need > len(self.source) or (
+                    hasattr(self.source, "ended_at")
+                    and self.source.ended_at(self._cursor + need)):
+                return
         samples = self.source.read(self._cursor, need)
         if not np.any(samples):
             return
@@ -413,11 +432,13 @@ class ChannelManager:
         dual = self.eng.has_data_component
 
         @jax.jit
-        def summarize(obs):
+        def summarize(obs, cn0_drop):
+            # cn0_drop is a TRACED argument (not baked into the compiled
+            # program) so the runtime 'set cn0_drop' command takes effect.
             stats = tlock.assess_device(
                 obs.ie, obs.qe, obs.ip, obs.qp, obs.il, obs.ql,
                 t_int_s=self.sig.code_period_s,
-                cn0_drop_dbhz=self.cn0_drop, m=m)
+                cn0_drop_dbhz=cn0_drop, m=m)
             lanes = [obs.ip, obs.qp, obs.rem,
                      obs.blksize.astype(jnp.float32), obs.dopp]
             if dual:
@@ -502,14 +523,29 @@ class ChannelManager:
         buf = self._read_chunk(base, chunk_len)
         if self.wire is not None:
             # Packed zero bytes still decode to nonzero LUT values, so
-            # end-of-data for a packed source is positional.
-            ended = base >= len(self.source)
+            # end-of-data for a packed source is positional (live packed
+            # streams report producer end-of-stream via ended_at).
+            ended = base >= len(self.source) or (
+                hasattr(self.source, "ended_at")
+                and self.source.ended_at(base))
         else:
             ended = not np.any(buf[: self._espc])
         if ended:
             self.tlm.event(epoch_ms0, "end_of_data")
             return False
         rel = np.round(self._abs_pos - base).astype(np.int64)
+        # A channel whose code phase has drifted past the window budget
+        # would read beyond its per-epoch window: re-anchor it via
+        # re-acquisition rather than tracking garbage.
+        for i in list(active):
+            if rel[i] > self._drift_margin + spc:
+                self._drop(i, epoch_ms0, why="window_overrun")
+                self._abs_pos[i] = base
+                rel[i] = 0
+                active.remove(i)
+        if not active:
+            self._cursor = base + k * self._espc
+            return True
 
         # --- async device phase: upload, k chained dispatches, optional
         # on-chunk acquisition dispatch, then ONE bulk readback. ---
@@ -528,7 +564,7 @@ class ChannelManager:
             win = jax.lax.slice_in_dim(chunk_dev, j * espc,
                                        j * espc + self._win_len)
             state, obs = self._step_epoch(win, self._bank_dev, state)
-            outs.append(self._summarize(obs))
+            outs.append(self._summarize(obs, np.float32(self.cn0_drop)))
         self._state = state
 
         acq_fut = None

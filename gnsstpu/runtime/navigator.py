@@ -69,13 +69,17 @@ def _decode_beidou(ip: np.ndarray, bit_len: int):
 def _decode_galileo(ip: np.ndarray, bit_len: int):
     from gnsstpu.nav import galileo as gal
 
-    start, _pol = gal.find_page_start(ip)
-    if start < 0:
-        return None
-    eph, tow = gal.decode_frames(ip, start)
-    if not (eph.valid and tow is not None):
-        return None
-    return start, float(tow), eph
+    # Pull-in junk at the stream head can fake the 10-symbol page sync;
+    # the CRC rejects it, so retry past a bogus first hit (same skip
+    # ladder as the offline decoder, runtime/receiver._decode_galileo).
+    for skip in (0, 250, 500):
+        start, _pol = gal.find_page_start(ip[skip:])
+        if start < 0:
+            continue
+        eph, tow = gal.decode_frames(ip[skip:], start)
+        if eph.valid and tow is not None:
+            return skip + start, float(tow), eph
+    return None
 
 
 def _family(signal: str):
@@ -270,7 +274,9 @@ class OnlineNavigator:
         # record index k means the same receive epoch on all rows.
         start = {p: streams[p][0]["start_ms"] for p in good}
         common = max(start.values())
-        off = {p: common - start[p] for p in good}
+        # Stream indexes are CODE PERIODS (4 ms for Galileo E1), while
+        # start_ms is wall milliseconds.
+        off = {p: (common - start[p]) // self._period_ms for p in good}
         n_ms = min(sum(len(a) for a in streams[p][0]["abs_sample"])
                    - off[p] for p in good)
         if n_ms <= 0:

@@ -50,11 +50,14 @@ class ReceiverOutput:
 
 
 def allocate_channels(acq: AcqResults, n_channels: int,
-                      sd=None) -> List[ChannelInit]:
+                      sd=None, if_freq: float = 0.0) -> List[ChannelInit]:
     """Strongest-first channel allocation (preRun.sci:26-34 +
-    simple_cold_allocate, osgnss_next_step.c:73-84). For FDMA signals the
-    per-channel carrier offset is split out of the acquired frequency so
-    doppler_hz is true Doppler (GLONASS/L1/initSettings.sci L1_IF_step)."""
+    simple_cold_allocate, osgnss_next_step.c:73-84). acq.carr_freq is the
+    ABSOLUTE acquired carrier (centered on the front end's IF), while
+    ChannelInit.doppler_hz must exclude the IF (channel_consts bakes
+    if_freq into the carrier NCO base) — pass the signal's if_freq. For
+    FDMA signals the per-channel carrier offset is additionally split
+    out so doppler_hz is true Doppler (GLONASS L1_IF_step)."""
     order = np.argsort(-acq.peak_metric)
     chans = []
     for i in order:
@@ -67,7 +70,7 @@ def allocate_channels(acq: AcqResults, n_channels: int,
         chans.append(ChannelInit(
             prn=prn,
             code_phase=int(acq.code_phase[i]),
-            doppler_hz=float(acq.carr_freq[i]) - off,
+            doppler_hz=float(acq.carr_freq[i]) - if_freq - off,
             if_offset_hz=off))
     return chans
 
@@ -87,7 +90,8 @@ def run_receiver(source, cfg: ReceiverConfig,
         acq_res = acquire_fdma(samples, sig, cfg.acq)
     else:
         acq_res = acquire(samples, sig, cfg.acq)
-    channels = allocate_channels(acq_res, cfg.n_channels, sd=sd)
+    channels = allocate_channels(acq_res, cfg.n_channels, sd=sd,
+                                 if_freq=cfg.signal.if_freq)
     if not channels:
         return ReceiverOutput(acq_res, [], None, [], {}, {}, None)
 

@@ -251,6 +251,7 @@ class StreamSource:
         while self._end < need_end and not self._eos:
             r, buf = self.fifo.pop(timeout_ms=200)
             if r == 1:
+                deadline = _time.monotonic() + self.timeout_s
                 blk = buf.view(np.float32).reshape(self.block, 2)
                 pos = self._end % H
                 n1 = min(self.block, H - pos)
@@ -444,6 +445,7 @@ class PackedStreamSource(_PackedReadMixin):
         while self._end < need_end_samples and not self._eos:
             r, buf = self.fifo.pop(timeout_ms=200)
             if r == 1:
+                deadline = _time.monotonic() + self.timeout_s
                 pos = int(self._end / self._spb) % H
                 n1 = min(self._bpb, H - pos)
                 self._hist[pos: pos + n1] = buf[:n1]
@@ -476,6 +478,11 @@ class PackedStreamSource(_PackedReadMixin):
                 b1 - int(start / self._spb)] = self._hist[idx]
         return out
 
+
+    def ended_at(self, pos: int) -> bool:
+        """True once the producer closed the FIFO and `pos` is past the
+        last produced sample (packed bytes have no zero-fill sentinel)."""
+        return self._eos and pos >= self._end
 
     def stats(self) -> dict:
         s = dict(self.fifo.stats())

@@ -104,6 +104,11 @@ class ScanFamilyEngine(_Base):
         if self.name == "fused":
             from gnsstpu.tracking.fused import fused_code_table
             self._tab = fused_code_table(self.sig, cfg.track)
+        elif self.name == "table":
+            from gnsstpu.ops import code_tables
+            self._tab = code_tables.phase_row_table(
+                self.sig.signal, self.sig.fs, self.sig.code_freq,
+                self.sig.code_length, self.spc + 2)
         else:
             from gnsstpu.ops import code_tables
             self._tab = code_tables.padded_code_table(self.sig.signal)

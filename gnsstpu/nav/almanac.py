@@ -173,13 +173,15 @@ def decode_page(d: np.ndarray):
     return "other", sv_id
 
 
-def decode_pages(bits01: np.ndarray, d30_star: int = 0
+def decode_pages(bits01: np.ndarray, d30_star: int = 0,
+                 d29_star: int = 0
                  ) -> Tuple[Dict[int, Almanac], Optional[IonoUtc]]:
     """Walk a bit stream (subframe-aligned) and collect almanacs + iono/UTC
     from every parity-clean subframe 4/5 (ephemeris.cpp:425,314 role)."""
     alms: Dict[int, Almanac] = {}
     iu: Optional[IonoUtc] = None
-    for _, sf_id, _, d in checked_subframes(bits01, d30_star):
+    for _, sf_id, _, d in checked_subframes(bits01, d30_star,
+                                            d29_star):
         if sf_id not in (4, 5):
             continue
         kind, obj = decode_page(d)

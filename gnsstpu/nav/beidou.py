@@ -333,9 +333,8 @@ def satpos_bd(transmit_time, ephs) -> Tuple[np.ndarray, np.ndarray]:
 
 def satpos_vel_bd(transmit_time, ephs, dt: float = 0.5
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """pvt.navigate satvel_fn adapter: (pos, vel, clk) by central
-    difference of the CGCS2000 Kepler propagator."""
-    p0, clk = satpos_bd(transmit_time, ephs)
-    pm, _ = satpos_bd(transmit_time - dt, ephs)
-    pp, _ = satpos_bd(transmit_time + dt, ephs)
-    return p0, (pp - pm) / (2.0 * dt), clk
+    """pvt.navigate satvel_fn adapter: central-difference velocity of
+    the CGCS2000 Kepler propagator (orbits.central_diff_vel)."""
+    from gnsstpu.nav.orbits import central_diff_vel
+
+    return central_diff_vel(satpos_bd, transmit_time, ephs, dt)

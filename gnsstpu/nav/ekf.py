@@ -29,12 +29,11 @@ from gnsstpu.nav.types import Ephemeris
 
 def satpos_vel(transmit_time, ephs: Sequence[Ephemeris],
                dt: float = 0.5):
-    """(pos [S,3], vel [S,3], clk [S]) — ECEF velocity by central
-    difference of the Kepler propagator (adequate to ~1e-4 m/s)."""
-    p0, clk = satpos(transmit_time, ephs)
-    pm, _ = satpos(transmit_time - dt, ephs)
-    pp, _ = satpos(transmit_time + dt, ephs)
-    return p0, (pp - pm) / (2.0 * dt), clk
+    """(pos [S,3], vel [S,3], clk [S]) — central-difference velocity of
+    the Kepler propagator (orbits.central_diff_vel)."""
+    from gnsstpu.nav.orbits import central_diff_vel
+
+    return central_diff_vel(satpos, transmit_time, ephs, dt)
 
 
 @dataclasses.dataclass
@@ -145,7 +144,10 @@ class NavEkf:
 
         accepted = np.zeros(S, bool)
         innov = np.zeros(S)
-        pred0 = np.array([geom(i)[0] for i in range(S)])
+        # Order by the CHEAP geometric range residual (full Sagnac/tropo
+        # geometry is evaluated once per measurement, inside the loop,
+        # after earlier accepted updates re-linearize the state).
+        pred0 = np.linalg.norm(sat_pos - self.x[0:3], axis=1)
         order = np.argsort(np.abs(pr - (pred0 + self.x[6])))
         u = np.zeros((S, 3))
         for i in order:

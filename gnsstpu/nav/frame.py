@@ -57,8 +57,10 @@ class FrameSync:
     bit_offset: int = 0
     # Polarity: +1 if prompt-I sign == bit value convention (0 -> +1).
     polarity: int = 1
-    # D30* of the word preceding the first subframe (for the decoder).
+    # D29*/D30* of the word preceding the first subframe (both seed the
+    # first word's parity chain in the decoder).
     d30_star: int = 0
+    d29_star: int = 0
 
 
 def find_preamble(prompt_i: np.ndarray, bit_len: int = 20) -> FrameSync:
@@ -94,6 +96,7 @@ def find_preamble(prompt_i: np.ndarray, bit_len: int = 20) -> FrameSync:
                 bit_offset=off,
                 polarity=pol,
                 d30_star=int(seg01[1]),
+                d29_star=int(seg01[0]),
             )
     return FrameSync(found=False)
 

@@ -360,8 +360,7 @@ def satpos_gal(transmit_time, ephs) -> Tuple[np.ndarray, np.ndarray]:
 
 def satpos_vel_gal(transmit_time, ephs, dt: float = 0.5
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """pvt.navigate satvel_fn adapter: (pos, vel, clk)."""
-    p0, clk = satpos_gal(transmit_time, ephs)
-    pm, _ = satpos_gal(transmit_time - dt, ephs)
-    pp, _ = satpos_gal(transmit_time + dt, ephs)
-    return p0, (pp - pm) / (2.0 * dt), clk
+    """pvt.navigate satvel_fn adapter (orbits.central_diff_vel)."""
+    from gnsstpu.nav.orbits import central_diff_vel
+
+    return central_diff_vel(satpos_gal, transmit_time, ephs, dt)

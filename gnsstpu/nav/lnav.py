@@ -245,7 +245,8 @@ def encode_frames(eph: Ephemeris, tow0: int = 0, n_subframes: int = 5,
 # Decoder
 # ---------------------------------------------------------------------------
 
-def checked_subframes(bits01: np.ndarray, d30_star: int = 0):
+def checked_subframes(bits01: np.ndarray, d30_star: int = 0,
+                      d29_star: int = 0):
     """Parity-checked subframe walk shared by the ephemeris and the
     almanac/page decoders.
 
@@ -256,7 +257,7 @@ def checked_subframes(bits01: np.ndarray, d30_star: int = 0):
     """
     b = np.asarray(bits01, np.int8)
     n_sf = len(b) // 300
-    d29s, d30s = 0, int(d30_star)
+    d29s, d30s = int(d29_star), int(d30_star)
     for s in range(n_sf):
         sf = b[s * 300:(s + 1) * 300]
         words = []
@@ -279,7 +280,8 @@ def checked_subframes(bits01: np.ndarray, d30_star: int = 0):
         yield s, sf_id, tow_next6, np.concatenate(words[2:])
 
 
-def decode_subframes(bits01: np.ndarray, d30_star: int = 0
+def decode_subframes(bits01: np.ndarray, d30_star: int = 0,
+                     d29_star: int = 0
                      ) -> Tuple[Ephemeris, Optional[int]]:
     """Decode ephemeris from >=5 consecutive subframes of 0/1 bits.
 
@@ -295,7 +297,8 @@ def decode_subframes(bits01: np.ndarray, d30_star: int = 0
     eph = Ephemeris()
     tow_s: Optional[int] = None
     got = set()
-    for s, sf_id, tow_next6, d in checked_subframes(bits01, d30_star):
+    for s, sf_id, tow_next6, d in checked_subframes(
+            bits01, d30_star, d29_star):
         if tow_s is None:
             # TOW in HOW is for the NEXT subframe; first subframe start =
             # (tow_next - 1) * 6 - s*6 ... relative to stream start.

@@ -96,3 +96,13 @@ def satpos(transmit_time, ephs: Sequence[Ephemeris],
 
     clk = clk + dtr
     return pos, clk
+
+
+def central_diff_vel(satpos_fn, transmit_time, ephs, dt: float = 0.5):
+    """(pos [S,3], vel [S,3], clk [S]): ECEF velocity by central
+    difference of any satpos-style propagator (adequate to ~1e-4 m/s).
+    Shared by the GPS/Galileo/BeiDou velocity adapters."""
+    p0, clk = satpos_fn(transmit_time, ephs)
+    pm, _ = satpos_fn(transmit_time - dt, ephs)
+    pp, _ = satpos_fn(transmit_time + dt, ephs)
+    return p0, (pp - pm) / (2.0 * dt), clk

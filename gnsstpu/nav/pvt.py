@@ -491,10 +491,14 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
         if sd.fdma_zero_prn is not None:
             fdma_offset = (carrier_hz
                            - sd.carrier_freq(sd.fdma_zero_prn))
-    transmit_time = tow_s
     steer_total = 0.0
     utm_zone: Optional[int] = None
     for k in range(n_epochs):
+        # Closed-form transmit time: advances with k REGARDLESS of
+        # skipped/failed epochs (a single RAIM rejection must not leave
+        # every later satpos evaluated at a stale time; the reference
+        # advances transmitTime every epoch, postNavigation.sci).
+        transmit_time = tow_s + k * step * period_s
         active = np.nonzero(have_eph & (sat_elev >= nav.elevation_mask_deg)
                             )[0]
         out.t_ms[k] = (sf.max() + k * step) * period_s * 1e3
@@ -568,5 +572,4 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
             # a live receiver would apply to its epoch timestamps.
             steer_total += -dt_epoch * out.ddt[k] / SPEED_OF_LIGHT
         out.steer_s[k] = steer_total
-        transmit_time += dt_epoch
     return out

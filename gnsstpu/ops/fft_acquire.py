@@ -142,13 +142,19 @@ def acquire_cube(
             return jnp.sum(power, axis=0)
         return jnp.max(power, axis=0)                            # [D, c, spc]
 
-    if P % prn_chunk == 0:
-        chunks = (code_fd_re.reshape(P // prn_chunk, prn_chunk, npad),
-                  code_fd_im.reshape(P // prn_chunk, prn_chunk, npad))
-    else:
-        chunks = (code_fd_re[:, None, :], code_fd_im[:, None, :])
-    out = jax.lax.map(one_chunk, chunks)                         # [P/c, D, c, spc]
-    return out.transpose(0, 2, 1, 3).reshape(P, -1, spc)
+    # Pad the PRN axis to a chunk multiple (zero replica rows correlate
+    # to zero; cropped below) so odd PRN counts — a 63-PRN GLONASS set,
+    # a user subset — keep the tuned VMEM-sweet-spot chunk size instead
+    # of silently degrading to one-PRN steps.
+    Pp = -(-P // prn_chunk) * prn_chunk
+    if Pp != P:
+        pad_rows = ((0, Pp - P), (0, 0))
+        code_fd_re = jnp.pad(code_fd_re, pad_rows)
+        code_fd_im = jnp.pad(code_fd_im, pad_rows)
+    chunks = (code_fd_re.reshape(Pp // prn_chunk, prn_chunk, npad),
+              code_fd_im.reshape(Pp // prn_chunk, prn_chunk, npad))
+    out = jax.lax.map(one_chunk, chunks)                         # [Pp/c, D, c, spc]
+    return out.transpose(0, 2, 1, 3).reshape(Pp, -1, spc)[:P]
 
 
 @functools.partial(jax.jit, static_argnames=("samples_per_code",

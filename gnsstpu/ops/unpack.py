@@ -90,7 +90,7 @@ def pack(iq: np.ndarray, fmt: str, scale: float = 1.0) -> np.ndarray:
         if n % 2:
             raise ValueError("sm2 needs an even sample count")
         sign = (x < 0).astype(np.uint8)                   # 1 = negative
-        mag = (np.abs(x) >= 2.0).astype(np.uint8)          # |q| in {1, 3}
+        mag = (np.abs(x) >= 1.0).astype(np.uint8)          # |q| in {1, 3}
         nib = (sign[:, 0] | (mag[:, 0] << 1)
                | (sign[:, 1] << 2) | (mag[:, 1] << 3))     # [N]
         return (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)

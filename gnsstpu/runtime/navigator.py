@@ -36,7 +36,8 @@ def _decode_gps(ip: np.ndarray, bit_len: int):
     if not sync.found:
         return None
     bits = frame.bits_from(ip, sync, bit_len)
-    eph, tow = lnav.decode_subframes(bits, d30_star=sync.d30_star)
+    eph, tow = lnav.decode_subframes(bits, d30_star=sync.d30_star,
+                                     d29_star=sync.d29_star)
     if not (eph.valid and tow is not None):
         return None
     return sync.first_subframe_ms, float(tow), eph
@@ -186,7 +187,8 @@ class OnlineNavigator:
                 continue
             bits = frame.bits_from(ip, sync, bit_len)
             alms, iu = alm_mod.decode_pages(bits,
-                                            d30_star=sync.d30_star)
+                                            d30_star=sync.d30_star,
+                                            d29_star=sync.d29_star)
             new = sorted(p for p in alms if p not in self.almanac)
             self.almanac.update(alms)
             if iu is not None:

@@ -132,7 +132,8 @@ def _decode_gps(tr, channels, sig, sd):
             anchors.append(NavAnchor())
             continue
         bits = frame.bits_from(tr.i_p[c], sync, bit_len)
-        eph, tow = lnav.decode_subframes(bits, d30_star=sync.d30_star)
+        eph, tow = lnav.decode_subframes(bits, d30_star=sync.d30_star,
+                                 d29_star=sync.d29_star)
         if eph.valid and tow is not None:
             ephs[ch.prn] = eph
             tows[ch.prn] = float(tow)

@@ -156,7 +156,7 @@ void pack_sm2(const float* iq, uint8_t* out, int64_t n_pairs, float scale,
         for (int k = 0; k < 2; ++k) {
           float v = iq[2 * s + k] * scale;
           uint8_t sign = v < 0.0f ? 1u : 0u;
-          uint8_t mag = (v < 0.0f ? -v : v) >= 2.0f ? 1u : 0u;
+          uint8_t mag = (v < 0.0f ? -v : v) >= 1.0f ? 1u : 0u;
           nib |= static_cast<uint8_t>((sign | (mag << 1)) << (2 * k));
         }
         byte |= static_cast<uint8_t>(nib << (4 * half));

@@ -94,3 +94,29 @@ def test_frame_sync_on_simulated_prompts():
         assert dec.valid
         assert tow == 1000 * 6
         assert dec.sqrtA == pytest.approx(eph.sqrtA, abs=1e-3)
+
+
+def test_decode_from_every_subframe_boundary():
+    """Regression: the decoder must seed BOTH D29* and D30* from the
+    word preceding the synced subframe — with only D30* carried, the
+    first subframe fails parity whenever the true D29* is 1 (~half of
+    mid-stream syncs), silently costing 6 s of data."""
+    from gnsstpu.nav import frame
+    from tests.test_full_chain import BASE_EPH
+    from gnsstpu.nav.types import Ephemeris
+
+    eph = Ephemeris(**BASE_EPH)
+    syms = lnav.encode_frames(eph, tow0=44400, n_subframes=12)
+    bit_len = 1
+    covered_d29 = set()
+    for sf_start in range(300, 8 * 300, 300):
+        ip = syms[sf_start - 2:]        # 2 lookback bits for D29*/D30*
+        sync = frame.find_preamble(ip, bit_len)
+        assert sync.found
+        bits = frame.bits_from(ip, sync, bit_len)
+        covered_d29.add(sync.d29_star)
+        dec, tow = lnav.decode_subframes(bits, d30_star=sync.d30_star,
+                                         d29_star=sync.d29_star)
+        assert dec.valid, f"decode failed from subframe offset {sf_start}"
+    # The fixture must actually exercise both D29* polarities.
+    assert covered_d29 == {0, 1}

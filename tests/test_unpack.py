@@ -23,7 +23,7 @@ def test_roundtrip_quantized_values(fmt):
         expect = np.clip(np.round(iq), -8, 7)
     elif fmt == "sm2":
         expect = np.where(iq < 0, -1.0, 1.0) * np.where(
-            np.abs(iq) >= 2.0, 3.0, 1.0)
+            np.abs(iq) >= 1.0, 3.0, 1.0)
     else:
         expect = np.where(iq < 0, -1.0, 1.0)
     np.testing.assert_array_equal(dec, expect.astype(np.float32))

@@ -207,7 +207,7 @@ class ChannelManager:
 
     # --- slot control ---
 
-    def _alloc(self, slot_idx: int, prn: int, code_phase: int,
+    def _alloc(self, slot_idx: int, prn: int, code_phase: float,
                doppler_hz: float, epoch_ms: int) -> None:
         s = self.slots[slot_idx]
         s.state = (SlotState.CONFIRM if self.confirm_epochs > 0
@@ -247,7 +247,7 @@ class ChannelManager:
         # navigator to invalidate its anchors for this PRN.
         self.history[prn] = hist
         self.tlm.event(epoch_ms, "channel_start", chan=slot_idx, prn=prn,
-                       code_phase=code_phase,
+                       code_phase=round(float(code_phase), 1),
                        doppler_hz=round(float(doppler_hz), 1))
 
     def _drop(self, slot_idx: int, epoch_ms: int, why: str) -> None:
@@ -333,7 +333,7 @@ class ChannelManager:
                 dopp -= (self.sd.carrier_freq(prn)
                          - self.sd.carrier_freq(self.sd.fdma_zero_prn))
             self._alloc(slot, prn,
-                        code_phase=base + int(res.code_phase[i]),
+                        code_phase=base + float(res.code_phase[i]),
                         doppler_hz=dopp, epoch_ms=epoch_ms)
 
     def _make_acq_chunk_fn(self):
@@ -408,12 +408,18 @@ class ChannelManager:
         # the slot starts tracking in the NEXT one — advance the handoff
         # by whole code periods to the stream head (the reference
         # likewise starts channels at the next code boundary,
-        # objects/correlator.cpp InitCorrelator); code-Doppler slip over
-        # the skipped periods is << half a chip.
+        # objects/correlator.cpp InitCorrelator). Each skipped code
+        # period spans spc * (1 - fd/f_carrier) samples (code Doppler),
+        # so the advance is Doppler-corrected: an uncorrected skip slips
+        # doppler/1540 chips/s — several chips over a multi-second
+        # superepoch at kHz Doppler, beyond DLL pull-in.
         spc = self.sig.samples_per_code
-        abs_cp = base + code_phase.astype(np.int64)
-        adv = np.ceil((self._cursor - abs_cp) / spc).astype(np.int64)
-        abs_cp = abs_cp + np.maximum(adv, 0) * spc
+        abs_cp = base + code_phase.astype(np.float64)
+        adv = np.maximum(np.ceil((self._cursor - abs_cp) / spc), 0.0)
+        fc = np.array([self.sd.carrier_freq(p)
+                       for p in range(1, self.sd.num_prn + 1)], np.float64)
+        fd = carr - self.sig.if_freq
+        abs_cp = abs_cp + adv * spc * (1.0 - fd / fc)
         res = AcqResults(peak_metric=metric, code_phase=abs_cp,
                         carr_freq=carr, detected=detected)
         idle = [i for i, s in enumerate(self.slots)
@@ -520,7 +526,24 @@ class ChannelManager:
                 self._abs_pos[i] = base
 
         t_read0 = time.perf_counter()
-        buf = self._read_chunk(base, chunk_len)
+        # The tail superepoch (k < sync_every) reads only what its k
+        # epoch windows consume — a live source must not block waiting
+        # for samples beyond the run — and zero-pads the host buffer to
+        # the static chunk length so the compiled device programs keep
+        # their shapes (the pad lies beyond every epoch's window slice).
+        need_len = (k - 1) * self._espc + self._win_len
+        if self.wire is not None:
+            from gnsstpu.ops.unpack import align, samples_per_byte
+            need_len += (-need_len) % align(self.wire)
+        need_len = min(need_len, chunk_len)
+        buf = self._read_chunk(base, need_len)
+        if need_len < chunk_len:
+            if self.wire is not None:
+                spb = samples_per_byte(self.wire)
+                pad = np.zeros(int((chunk_len - need_len) / spb), np.uint8)
+            else:
+                pad = np.zeros((chunk_len - need_len, 2), np.float32)
+            buf = np.concatenate([np.asarray(buf), pad])
         if self.wire is not None:
             # Packed zero bytes still decode to nonzero LUT values, so
             # end-of-data for a packed source is positional (live packed
@@ -536,9 +559,12 @@ class ChannelManager:
         rel = np.round(self._abs_pos - base).astype(np.int64)
         # A channel whose code phase has drifted past the window budget
         # would read beyond its per-epoch window: re-anchor it via
-        # re-acquisition rather than tracking garbage.
+        # re-acquisition rather than tracking garbage. The hard budget is
+        # rel <= win_len - espc - spc - 2 = _drift_margin: beyond that the
+        # final block's dynamic slice clamps at the window edge and the
+        # channel silently correlates shifted samples.
         for i in list(active):
-            if rel[i] > self._drift_margin + spc:
+            if rel[i] > self._drift_margin:
                 self._drop(i, epoch_ms0, why="window_overrun")
                 self._abs_pos[i] = base
                 rel[i] = 0
@@ -572,7 +598,7 @@ class ChannelManager:
         want = self._want_prns()
         have_idle = any(s.state is SlotState.IDLE for s in self.slots)
         if acq_due and want and have_idle:
-            if not fdma and chunk_len >= self._acq_samples_needed_chunk():
+            if not fdma and need_len >= self._acq_samples_needed_chunk():
                 if self._acq_chunk_fn is None:
                     self._acq_chunk_fn = self._make_acq_chunk_fn()
                 acq_fut = self._acq_chunk_fn(chunk_dev)

@@ -139,7 +139,8 @@ def cmd_track(args) -> int:
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                          epoch_ms=args.epoch_ms, commands=bus,
                          engine=args.engine, navigator=navr,
-                         sync_every=args.sync_every)
+                         sync_every=args.sync_every,
+                         prefetch=args.prefetch)
     if args.profile:
         # Opt-in JAX profiler trace (SURVEY §5 tracing: the reference's
         # Threaded_Object tic counters; here a real xplane trace).
@@ -322,6 +323,10 @@ def main(argv=None) -> int:
                         "(superepoch pipelining; >1 batches uploads/"
                         "dispatches/readbacks, decisions stale by <= N "
                         "epochs)")
+    p.add_argument("--prefetch", action="store_true",
+                   help="overlap chunk read/upload with device compute "
+                        "and supervision (reader-thread pipeline; "
+                        "requires --sync-every > 1)")
     p.add_argument("--stream", nargs="?", const="fast", default=None,
                    choices=["fast", "realtime"],
                    help="feed via producer thread + native ring FIFO "

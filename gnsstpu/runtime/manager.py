@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -80,6 +81,38 @@ class EpochRecord:
     doppler_hz: np.ndarray    # [C]
 
 
+@dataclasses.dataclass
+class _Inflight:
+    """A dispatched-but-unsupervised superepoch (prefetch pipeline)."""
+
+    e0: int                   # first supervision epoch index
+    k: int                    # epochs in this superepoch
+    base: int                 # chunk base sample
+    packed: tuple             # device (streams [k,E,C,L], stats [k,C,4])
+    acq_fut: object           # device acq peak metrics or None
+    acq_want: list            # PRNs the acq searched for
+    acq_host: bool            # host-path fallback search pending
+    buf: object               # host chunk (fine-Doppler refinement)
+    n_active: int
+    t_read: float
+    t_up: float
+    t_disp: float
+
+
+@dataclasses.dataclass
+class _Chunk:
+    """A prefetched superepoch chunk (host buffer + device upload)."""
+
+    base: int
+    k: int
+    buf: object
+    dev: object               # device f32 [chunk_len, 2] or None if ended
+    ended: bool
+    need_len: int
+    t_read: float
+    t_up: float
+
+
 class ChannelManager:
     """Supervises a fixed bank of tracking slots over a sample source.
 
@@ -102,7 +135,8 @@ class ChannelManager:
                  confirm_epochs: int = 3, confirm_m: int = 2,
                  commands=None, engine: str = "auto", navigator=None,
                  sync_every: int = 1, wire: str = "auto",
-                 spread_budget_s: float = 900.0):
+                 spread_budget_s: float = 900.0,
+                 prefetch: bool = False):
         self.source = source
         self.cfg = cfg
         self.sig = cfg.signal
@@ -122,6 +156,16 @@ class ChannelManager:
         # PVT at epoch boundaries (the reference's Ephemeris+PVT threads).
         self.navigator = navigator
         self.sync_every = max(1, int(sync_every))
+        # Prefetch pipeline (run_pipelined): a reader thread reads +
+        # uploads chunk n+1 while chunk n computes and chunk n-1 is
+        # supervised. Supervision decisions lag one EXTRA superepoch vs
+        # the serial loop (the reference's channels likewise act on
+        # delayed measurements); tracking output is bit-exact vs serial
+        # when no slot churn intervenes.
+        self.prefetch = bool(prefetch)
+        self._src_lock = threading.Lock()
+        self._alloc_log: Optional[list] = None
+        self._chunk_cache = None        # (base, host buf) of last chunk
         self._stop = False
         # SV_Select warm start (sv_select.cpp SetupRequest): the live
         # navigator publishes predicted-visible PRNs from a decoded
@@ -170,8 +214,9 @@ class ChannelManager:
         # runs. History/records grow unboundedly for the life of the
         # manager (analysis use); cap run length or restart sessions
         # for multi-hour deployments.
+        lag = 2 if self.prefetch else 1   # pipeline adds one superepoch
         self._drift_margin = 64 + int(np.ceil(
-            self.sync_every * epoch_ms * 1e-3 * 2e-5 * self.sig.fs
+            lag * self.sync_every * epoch_ms * 1e-3 * 2e-5 * self.sig.fs
             + spread_budget_s * 6.4e-6 * self.sig.fs))
         self.records: List[EpochRecord] = []
         self.history: Dict[int, dict] = {}         # prn -> prompt streams
@@ -227,14 +272,17 @@ class ChannelManager:
                 if key in self._bank:
                     self._bank_dev[key] = self._bank_dev[key].at[
                         slot_idx].set(self._bank[key][slot_idx])
-        # sample_pos is rewritten (chunk-relative) every epoch; init 0.
+        # Reset the slot's state row ON DEVICE (.at[].set dispatches
+        # async — a host round trip here would drain the pipeline).
+        # sample_pos is rewritten (chunk-relative) at dispatch/retarget.
         z = self.eng.slot_state(doppler_hz)
         self._state = jax.tree.map(
-            lambda full, one: jnp.asarray(np.concatenate(
-                [np.asarray(full)[:slot_idx], np.asarray(one),
-                 np.asarray(full)[slot_idx + 1:]])),
+            lambda full, one: jnp.asarray(full).at[slot_idx].set(
+                jnp.asarray(one)[0].astype(jnp.asarray(full).dtype)),
             self._state, z)
         self._abs_pos[slot_idx] = code_phase
+        if self._alloc_log is not None:
+            self._alloc_log.append(slot_idx)
         hist = {"i_p": [], "q_p": [], "carr_doppler": [],
                 "abs_sample": [], "start_ms": epoch_ms}
         if self.eng.has_data_component:
@@ -269,6 +317,42 @@ class ChannelManager:
         return want
 
     # --- sample reads (wire-format aware) ---
+
+    def _read_superepoch(self, base: int, k: int):
+        """One superepoch's chunk: sized read + end-of-data detection +
+        zero-pad to the static chunk length.
+
+        The tail superepoch (k < sync_every) reads only what its k epoch
+        windows consume — a live source must not block waiting for
+        samples beyond the run — and the pad lies beyond every epoch's
+        window slice, so the compiled device programs keep their shapes.
+        Thread-safe vs other source consumers (prefetch worker)."""
+        chunk_len = self._chunk_len
+        need_len = (k - 1) * self._espc + self._win_len
+        if self.wire is not None:
+            from gnsstpu.ops.unpack import align, samples_per_byte
+            need_len += (-need_len) % align(self.wire)
+        need_len = min(need_len, chunk_len)
+        with self._src_lock:
+            buf = self._read_chunk(base, need_len)
+            if self.wire is not None:
+                # Packed zero bytes still decode to nonzero LUT values,
+                # so end-of-data for a packed source is positional (live
+                # packed streams report producer EOS via ended_at).
+                ended = base >= len(self.source) or (
+                    hasattr(self.source, "ended_at")
+                    and self.source.ended_at(base))
+            else:
+                ended = not np.any(buf[: self._espc])
+        if need_len < chunk_len:
+            if self.wire is not None:
+                spb = samples_per_byte(self.wire)
+                pad = np.zeros(int((chunk_len - need_len) / spb),
+                               np.uint8)
+            else:
+                pad = np.zeros((chunk_len - need_len, 2), np.float32)
+            buf = np.concatenate([np.asarray(buf), pad])
+        return buf, ended, need_len
 
     def _read_chunk(self, start: int, count: int):
         """Read one superepoch's samples: packed wire sources return raw
@@ -305,7 +389,8 @@ class ChannelManager:
                     hasattr(self.source, "ended_at")
                     and self.source.ended_at(self._cursor + need)):
                 return
-        samples = self.source.read(self._cursor, need)
+        with self._src_lock:
+            samples = self.source.read(self._cursor, need)
         if not np.any(samples):
             return
         fdma = self.sd.fdma_zero_prn is not None
@@ -382,12 +467,44 @@ class ChannelManager:
         return ((B - 1) * self.cfg.acq.coherent_ms * spc
                 + fft_acquire.window_len(spc, self.cfg.acq.coherent_ms))
 
+    def _host_samples(self, start: int, count: int) -> np.ndarray:
+        """f32 [count, 2] host samples, served from the retained chunk
+        buffer when it covers the request (the live loop must not pay an
+        extra source read per refinement) else from the source."""
+        cc = self._chunk_cache
+        if cc is not None:
+            cbase, cbuf = cc
+            off = start - cbase
+            if off >= 0:
+                if self.wire is not None:
+                    from gnsstpu.ops import unpack as up
+                    a = up.align(self.wire)
+                    spb = up.samples_per_byte(self.wire)
+                    o0 = off - off % a
+                    n = count + (off - o0)
+                    n += (-n) % a
+                    if o0 + n <= int(len(cbuf) * spb):
+                        dec = up.unpack_np(
+                            np.asarray(cbuf)[int(o0 / spb):
+                                             int((o0 + n) / spb)],
+                            self.wire)
+                        return dec[off - o0: off - o0 + count]
+                elif off + count <= len(cbuf):
+                    return np.asarray(cbuf[off: off + count], np.float32)
+        with self._src_lock:
+            return self.source.read(start, count)
+
     def _finish_chunk_acq(self, metrics, want: list, base: int,
-                          epoch_ms: int) -> None:
+                          epoch_ms: int,
+                          head: Optional[int] = None) -> None:
         """Apply an on-chunk acquisition's (already materialized) peak
-        metrics: threshold, fine Doppler (host window), slot placement."""
+        metrics: threshold, fine Doppler (host window), slot placement.
+        head = first sample of the chunk the new slots will track in
+        (defaults to the serial loop's cursor)."""
         from gnsstpu.acquisition.search import AcqResults, refine_doppler
 
+        if head is None:
+            head = self._cursor
         acq = self.cfg.acq
         metric = np.asarray(metrics["metric"])
         code_phase = np.asarray(metrics["code_phase"])
@@ -398,28 +515,29 @@ class ChannelManager:
         carr = self._acq_doppler[best_bin].astype(np.float64)
         if acq.fine_doppler_ms > 0 and np.any(detected):
             k_ms = acq.fine_doppler_ms
-            win = self.source.read(base, (k_ms + 1) * self.sig.
-                                   samples_per_code + 64)
+            win = self._host_samples(base, (k_ms + 1) * self.sig.
+                                     samples_per_code + 64)
             for i in np.nonzero(detected)[0]:
                 carr[i] = refine_doppler(
                     win, self.sig, int(i) + 1, int(code_phase[i]),
                     carr[i], k_ms=k_ms)
         # The search measured code phase in THIS superepoch's chunk, but
-        # the slot starts tracking in the NEXT one — advance the handoff
-        # by whole code periods to the stream head (the reference
-        # likewise starts channels at the next code boundary,
-        # objects/correlator.cpp InitCorrelator). Each skipped code
-        # period spans spc * (1 - fd/f_carrier) samples (code Doppler),
-        # so the advance is Doppler-corrected: an uncorrected skip slips
+        # the slot starts tracking at `head` — advance the handoff by
+        # whole code periods. Each skipped code period spans
+        # spc * (1 - fd/f_carrier) samples (code Doppler), so the
+        # advance is Doppler-corrected: an uncorrected skip slips
         # doppler/1540 chips/s — several chips over a multi-second
-        # superepoch at kHz Doppler, beyond DLL pull-in.
+        # superepoch at kHz Doppler, beyond DLL pull-in. Using the
+        # corrected period in the ceil keeps the handoff AT OR PAST
+        # head, so the slot's first window offset is never negative.
         spc = self.sig.samples_per_code
         abs_cp = base + code_phase.astype(np.float64)
-        adv = np.maximum(np.ceil((self._cursor - abs_cp) / spc), 0.0)
         fc = np.array([self.sd.carrier_freq(p)
                        for p in range(1, self.sd.num_prn + 1)], np.float64)
         fd = carr - self.sig.if_freq
-        abs_cp = abs_cp + adv * spc * (1.0 - fd / fc)
+        step = spc * (1.0 - fd / fc)
+        adv = np.maximum(np.ceil((head - abs_cp) / step), 0.0)
+        abs_cp = abs_cp + adv * step
         res = AcqResults(peak_metric=metric, code_phase=abs_cp,
                         carr_freq=carr, detected=detected)
         idle = [i for i, s in enumerate(self.slots)
@@ -472,6 +590,9 @@ class ChannelManager:
     def run(self, n_ms: int) -> List[EpochRecord]:
         n_epochs = n_ms // self.epoch_ms
         self._last_progress = time.monotonic()
+        if self.prefetch and self.sync_every > 1:
+            self._run_pipelined(n_epochs)
+            return self.records
         e = 0
         while e < n_epochs:
             k = min(self.sync_every, n_epochs - e)
@@ -526,36 +647,11 @@ class ChannelManager:
                 self._abs_pos[i] = base
 
         t_read0 = time.perf_counter()
-        # The tail superepoch (k < sync_every) reads only what its k
-        # epoch windows consume — a live source must not block waiting
-        # for samples beyond the run — and zero-pads the host buffer to
-        # the static chunk length so the compiled device programs keep
-        # their shapes (the pad lies beyond every epoch's window slice).
-        need_len = (k - 1) * self._espc + self._win_len
-        if self.wire is not None:
-            from gnsstpu.ops.unpack import align, samples_per_byte
-            need_len += (-need_len) % align(self.wire)
-        need_len = min(need_len, chunk_len)
-        buf = self._read_chunk(base, need_len)
-        if need_len < chunk_len:
-            if self.wire is not None:
-                spb = samples_per_byte(self.wire)
-                pad = np.zeros(int((chunk_len - need_len) / spb), np.uint8)
-            else:
-                pad = np.zeros((chunk_len - need_len, 2), np.float32)
-            buf = np.concatenate([np.asarray(buf), pad])
-        if self.wire is not None:
-            # Packed zero bytes still decode to nonzero LUT values, so
-            # end-of-data for a packed source is positional (live packed
-            # streams report producer end-of-stream via ended_at).
-            ended = base >= len(self.source) or (
-                hasattr(self.source, "ended_at")
-                and self.source.ended_at(base))
-        else:
-            ended = not np.any(buf[: self._espc])
+        buf, ended, need_len = self._read_superepoch(base, k)
         if ended:
             self.tlm.event(epoch_ms0, "end_of_data")
             return False
+        self._chunk_cache = (base, buf)
         rel = np.round(self._abs_pos - base).astype(np.int64)
         # A channel whose code phase has drifted past the window budget
         # would read beyond its per-epoch window: re-anchor it via
@@ -674,6 +770,323 @@ class ChannelManager:
                                  time.perf_counter() - t0)
         return True
 
+    # --- prefetch pipeline (overlapped superepochs) ---
+    #
+    # The serial loop strictly alternates host I/O with device compute:
+    # read -> upload -> k dispatches -> readback -> supervise. The
+    # reference hides exactly this latency with its 10-thread/FIFO
+    # fabric (objects/fifo.cpp:53-187). Here the device state CARRIES
+    # across superepochs (each epoch rebases sample_pos by -espc on
+    # device, so after k epochs the state is already relative to the
+    # next chunk's deterministic base) — dispatching superepoch n+1
+    # needs NO host round trip. Per iteration:
+    #   a. dispatch superepoch n on the prefetched chunk (async),
+    #   b. spawn a reader-thread prefetch (read + upload) of chunk n+1,
+    #   c. harvest + supervise superepoch n-1 (its async readback had a
+    #      full superepoch of wall clock to complete).
+    # Supervision decisions (drops, reacquisition placements) land one
+    # superepoch later than serial; the window drift margin budgets the
+    # extra lag, and tracking output is bit-exact vs the serial loop
+    # whenever no slot churn intervenes (tests/test_pipeline.py).
+
+    def _prefetch_chunk(self, base: int, k: int) -> _Chunk:
+        """Read + upload one superepoch chunk (runs on the reader
+        thread; JAX dispatch is thread-safe)."""
+        t0 = time.perf_counter()
+        buf, ended, need_len = self._read_superepoch(base, k)
+        t1 = time.perf_counter()
+        dev = None if ended else self._to_device(buf)
+        return _Chunk(base=base, k=k, buf=buf, dev=dev, ended=ended,
+                      need_len=need_len, t_read=t1 - t0,
+                      t_up=time.perf_counter() - t1)
+
+    def _dispatch_superepoch(self, chunk: _Chunk, k: int, e0: int,
+                             entry_rel) -> _Inflight:
+        """Issue k chained epochs (+ a due acquisition search) against
+        an uploaded chunk — all device work is async. entry_rel: host
+        sample_pos rebase (pipeline entry only); otherwise the carried
+        device state is used untouched."""
+        epoch_ms0 = e0 * self.epoch_ms
+        t0 = time.perf_counter()
+        if self._bank_dev is None:
+            self._bank_dev = {key: jnp.asarray(v)
+                              for key, v in self._bank.items()}
+        state = self._state
+        if entry_rel is not None:
+            state = state._replace(corr=state.corr._replace(
+                sample_pos=entry_rel.astype(np.int32)))
+        espc = self._espc
+        outs = []
+        for j in range(k):
+            win = jax.lax.slice_in_dim(chunk.dev, j * espc,
+                                       j * espc + self._win_len)
+            state, obs = self._step_epoch(win, self._bank_dev, state)
+            outs.append(self._summarize(obs, np.float32(self.cn0_drop)))
+        self._state = state
+        packed = self._pack_epochs(outs)
+        for leaf in jax.tree.leaves(packed):
+            leaf.copy_to_host_async()
+        acq_fut = None
+        acq_host = False
+        want = []
+        if epoch_ms0 >= self._next_reacq_ms:
+            want = self._want_prns()
+            have_idle = any(s.state is SlotState.IDLE
+                            for s in self.slots)
+            fdma = self.sd.fdma_zero_prn is not None
+            if want and have_idle:
+                if (not fdma and chunk.need_len
+                        >= self._acq_samples_needed_chunk()):
+                    if self._acq_chunk_fn is None:
+                        self._acq_chunk_fn = self._make_acq_chunk_fn()
+                    acq_fut = self._acq_chunk_fn(chunk.dev)
+                    for leaf in jax.tree.leaves(acq_fut):
+                        leaf.copy_to_host_async()
+                else:
+                    acq_host = True
+            self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
+        n_active = sum(s.state is not SlotState.IDLE
+                       for s in self.slots)
+        return _Inflight(e0=e0, k=k, base=chunk.base, packed=packed,
+                         acq_fut=acq_fut, acq_want=want,
+                         acq_host=acq_host, buf=chunk.buf,
+                         n_active=n_active, t_read=chunk.t_read,
+                         t_up=chunk.t_up,
+                         t_disp=time.perf_counter() - t0)
+
+    def _next_base(self, active: list, la: int, k: int,
+                   det: int) -> int:
+        """Base for the NEXT chunk: follow the fleet's actual positions
+        (min active, la superepochs of advance predicted on top of the
+        bookkeeping lag, minus a guard for backward code-Doppler drift)
+        so a long run's collective drift never walks rel negative or
+        past the window budget."""
+        guard = 128
+        minp = min(self._abs_pos[i] for i in active)
+        desired = int(minp) + la * k * self._espc - guard
+        if self.wire is not None:
+            from gnsstpu.ops.unpack import align
+            desired -= desired % align(self.wire)
+        if abs(desired - det) > self._drift_margin:
+            # A mass slot change moved the min out of the budgeted
+            # envelope; stay on the deterministic track (the entry
+            # rebase heals via window_overrun re-anchors if needed).
+            return det
+        return desired
+
+    def _run_pipelined(self, n_epochs: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        espc = self._espc
+        ex = ThreadPoolExecutor(max_workers=1)
+        pend: Optional[_Inflight] = None
+        nxt = None                 # Future[_Chunk] targeting self._cursor
+        entry = True               # host sample_pos rebase needed
+        self._pending_allocs: List[int] = []
+        self._det_base = 0
+        e = 0
+        try:
+            while e < n_epochs:
+                k = min(self.sync_every, n_epochs - e)
+                epoch_ms0 = e * self.epoch_ms
+                if self.commands is not None:
+                    self._apply_commands(epoch_ms0)
+                if self._stop:
+                    self.tlm.event(epoch_ms0, "commanded_stop")
+                    break
+                active = [i for i, s in enumerate(self.slots)
+                          if s.state is not SlotState.IDLE]
+                if not active:
+                    if pend is not None:
+                        # Drain the in-flight superepoch first — its
+                        # acquisition results may repopulate the bank.
+                        self._harvest(pend, next_base=self._cursor,
+                                      alloc_ms=epoch_ms0)
+                        pend = None
+                        entry = True
+                        continue
+                    nxt = None
+                    if epoch_ms0 >= self._next_reacq_ms:
+                        t0 = time.perf_counter()
+                        self._try_acquire(epoch_ms0)
+                        self.tlm.task_health(
+                            epoch_ms0, "acquire",
+                            time.perf_counter() - t0)
+                        self._next_reacq_ms = (epoch_ms0
+                                               + self.reacq_period_ms)
+                        active = [i for i, s in enumerate(self.slots)
+                                  if s.state is not SlotState.IDLE]
+                    if not active:
+                        self._cursor += k * espc
+                        self._watchdog()
+                        e += k
+                        continue
+                    entry = True
+                entry_rel = None
+                if entry:
+                    base = int(min(self._abs_pos[i] for i in active))
+                    if self.wire is not None:
+                        from gnsstpu.ops.unpack import align
+                        base -= base % align(self.wire)
+                    rel = np.round(self._abs_pos - base).astype(np.int64)
+                    for i in list(active):
+                        if rel[i] > self._drift_margin:
+                            self._drop(i, epoch_ms0,
+                                       why="window_overrun")
+                            self._abs_pos[i] = base
+                            rel[i] = 0
+                            active.remove(i)
+                    if not active:
+                        self._cursor = base + k * espc
+                        continue
+                    for i, s in enumerate(self.slots):
+                        if s.state is SlotState.IDLE:
+                            self._abs_pos[i] = base
+                            rel[i] = 0
+                    entry_rel = rel
+                    self._pending_allocs = []
+                    self._cursor = base
+                    nxt = None
+                    entry = False
+                base = self._cursor
+                if nxt is not None:
+                    chunk = nxt.result()
+                    nxt = None
+                    if chunk.base != base or chunk.k < k:
+                        chunk = self._prefetch_chunk(base, k)
+                else:
+                    chunk = self._prefetch_chunk(base, k)
+                if chunk.ended:
+                    self.tlm.event(epoch_ms0, "end_of_data")
+                    break
+                if entry_rel is None:
+                    # Retarget the carried sample_pos to this chunk's
+                    # base (base tracking + fresh allocation rows) —
+                    # pure device ops, no sync.
+                    delta = self._det_base - base
+                    if delta or self._pending_allocs:
+                        sp = self._state.corr.sample_pos
+                        if delta:
+                            sp = sp + np.int32(delta)
+                        for i in self._pending_allocs:
+                            sp = sp.at[i].set(np.int32(round(
+                                self._abs_pos[i] - base)))
+                        self._state = self._state._replace(
+                            corr=self._state.corr._replace(
+                                sample_pos=sp))
+                    self._pending_allocs = []
+                cur = self._dispatch_superepoch(chunk, k, e, entry_rel)
+                self._det_base = base + k * espc
+                k_next = min(self.sync_every, n_epochs - e - k)
+                if k_next > 0:
+                    la = 1 if entry_rel is not None else 2
+                    nbase = self._next_base(active, la, k,
+                                            self._det_base)
+                    self._cursor = nbase
+                    nxt = ex.submit(self._prefetch_chunk, nbase, k_next)
+                else:
+                    self._cursor = self._det_base
+                if pend is not None:
+                    self._harvest(pend, next_base=self._cursor,
+                                  alloc_ms=(e + k) * self.epoch_ms,
+                                  k_ahead=k)
+                pend = cur
+                e += k
+            if pend is not None:
+                self._harvest(pend, next_base=self._cursor,
+                              alloc_ms=e * self.epoch_ms)
+        finally:
+            ex.shutdown(wait=False)
+
+    def _harvest(self, p: _Inflight, next_base: int,
+                 alloc_ms: int, k_ahead: int = 0) -> None:
+        """Supervise a completed superepoch (its readback has been in
+        flight since dispatch); drops/reacquisition placements recorded
+        here take effect at the next dispatch (chunk base next_base,
+        first epoch alloc_ms). k_ahead: epochs of the superepoch
+        currently in flight (0 when draining — no further dispatch, so
+        no window check)."""
+        epoch_ms0 = p.e0 * self.epoch_ms
+        t0 = time.perf_counter()
+        streams_k, stats_k = jax.tree.map(np.asarray, p.packed)
+        acq = (jax.tree.map(np.asarray, p.acq_fut)
+               if p.acq_fut is not None else None)
+        t1 = time.perf_counter()
+        self.tlm.task_health(epoch_ms0, "track", p.t_disp,
+                             engine=self.engine, n_active=p.n_active,
+                             sync_every=p.k)
+        self.tlm.task_health(epoch_ms0, "upload", p.t_up,
+                             wire=self.wire or "array",
+                             read_s=round(p.t_read, 4))
+        self.tlm.task_health(epoch_ms0, "readback", t1 - t0)
+        if hasattr(self.source, "stats"):
+            self.tlm.task_health(epoch_ms0, "source", 0.0,
+                                 **self.source.stats())
+        self._chunk_cache = (p.base, p.buf)
+        # Slots allocated since this superepoch was dispatched start
+        # tracking only at the NEXT one: keep their fresh positions out
+        # of (and safe from) this superepoch's bookkeeping.
+        last_ms = (p.e0 + p.k - 1) * self.epoch_ms
+        fresh = {i: self._abs_pos[i]
+                 for i, s in enumerate(self.slots)
+                 if s.state is not SlotState.IDLE
+                 and s.started_ms > last_ms}
+        pos = self._abs_pos.copy()
+        for i, s in enumerate(self.slots):
+            if s.state is SlotState.IDLE:
+                pos[i] = p.base
+        self._alloc_log = []
+        for j in range(p.k):
+            epoch_ms = (p.e0 + j) * self.epoch_ms
+            st = stats_k[j]
+            sj = streams_k[j]
+            blk = sj[:, :, self._S_BLK].astype(np.float64)
+            ends = pos[None, :] + np.cumsum(blk, axis=0)
+            status = tlock.LockStatus(
+                cn0_dbhz=st[:, self._T_CN0],
+                pll_lock=st[:, self._T_PLL],
+                code_lock=st[:, self._T_CODE],
+                locked=st[:, self._T_LOCKED] > 0.5)
+            dopp_full = sj[:, :, self._S_DOPP]
+            self._supervise_epoch(
+                epoch_ms, status,
+                ip=sj[:, :, self._S_IP], qp=sj[:, :, self._S_QP],
+                rem=sj[:, :, self._S_REM], ends=ends,
+                dopp_last=dopp_full[-1], dopp_full=dopp_full,
+                streams=sj)
+            pos = ends[-1]
+        self._abs_pos = pos
+        for i, v in fresh.items():
+            self._abs_pos[i] = v
+        self._last_progress = time.monotonic()
+        self.tlm.task_health(epoch_ms0, "assess",
+                             time.perf_counter() - t1)
+        if acq is not None:
+            self._finish_chunk_acq(acq, p.acq_want, p.base, alloc_ms,
+                                   head=next_base)
+        elif p.acq_host:
+            t2 = time.perf_counter()
+            self._try_acquire(alloc_ms)
+            self.tlm.task_health(alloc_ms, "acquire",
+                                 time.perf_counter() - t2)
+        allocs = list(self._alloc_log)
+        self._alloc_log = None
+        self._pending_allocs.extend(allocs)
+        # Window budget vs the NEXT dispatch base: a drifted-out channel
+        # is re-anchored via re-acquisition (lands one superepoch late —
+        # the margin budgets the lag). _abs_pos is one superepoch behind
+        # the next dispatch, so predict forward by the in-flight
+        # superepoch's advance before comparing.
+        if k_ahead > 0:
+            adv = k_ahead * self._espc
+            for i, s in enumerate(self.slots):
+                if (s.state is SlotState.IDLE or i in allocs
+                        or s.started_ms > last_ms):
+                    continue
+                relp = self._abs_pos[i] + adv - next_base
+                if relp < 0 or relp > self._drift_margin:
+                    self._drop(i, alloc_ms, why="window_overrun")
+
     def _supervise_epoch(self, epoch_ms: int, status, *, ip, qp, rem,
                          ends, dopp_last, dopp_full,
                          streams=None) -> None:
@@ -693,6 +1106,12 @@ class ChannelManager:
                   if s.state is not SlotState.IDLE]
         for i in active:
             s = self.slots[i]
+            if s.started_ms > epoch_ms:
+                # Pipelined mode: the slot was allocated after this
+                # (in-flight) superepoch was dispatched — it starts
+                # tracking at a later epoch, so this superepoch's slot
+                # row is pre-handoff garbage; keep it out of history.
+                continue
             h = self.history[s.prn]
             h["i_p"].append(ip[:, i].copy())
             h["q_p"].append(qp[:, i].copy())

@@ -95,6 +95,75 @@ def test_pipelined_packed_wire_tracks():
     assert last.cn0_dbhz[i5] > 40.0
 
 
+def test_prefetch_matches_serial():
+    """prefetch=True (free-running device pipeline, reader-thread
+    chunk prefetch, lagged supervision) must reproduce the serial
+    loop's trajectories bit-exactly when no slot churn intervenes."""
+    sim = IFSimulator(SIG, SATS, noise_sigma=1.0, seed=3)
+    samples = np.asarray(sim.generate(850))
+    m1, r1 = _run(ArraySource(samples.copy()), sync_every=4)
+    mp, rp = _run(ArraySource(samples.copy()), sync_every=4,
+                  prefetch=True)
+
+    assert len(r1) == len(rp)
+    for prn in (5, 12):
+        h1 = m1.prompt_stream(prn)
+        hp = mp.prompt_stream(prn)
+        np.testing.assert_array_equal(h1["i_p"], hp["i_p"])
+        np.testing.assert_array_equal(h1["q_p"], hp["q_p"])
+        np.testing.assert_array_equal(h1["carr_doppler"],
+                                      hp["carr_doppler"])
+        np.testing.assert_allclose(h1["abs_sample"], hp["abs_sample"],
+                                   rtol=0, atol=1e-6)
+    for a, b in zip(r1, rp):
+        np.testing.assert_allclose(a.cn0_dbhz, b.cn0_dbhz, atol=1e-6)
+    states = {s.prn: s.state for s in mp.slots}
+    assert states.get(5) is SlotState.TRACKING
+    assert states.get(12) is SlotState.TRACKING
+
+
+def test_prefetch_packed_wire_tracks():
+    """Prefetch pipeline over the packed 2-bit wire: acquire, confirm,
+    track, correct Doppler — the production live configuration."""
+    sim = IFSimulator(SIG, SATS, noise_sigma=1.0, seed=3)
+    samples = np.asarray(sim.generate(850))
+    src = PackedArraySource(samples, fmt="sm2", scale=1.0)
+    mgr, recs = _run(src, sync_every=4, prefetch=True)
+    assert mgr.wire == "sm2"
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+    i5 = list(last.prn).index(5)
+    i12 = list(last.prn).index(12)
+    assert abs(last.doppler_hz[i5] - 900.0) < 5.0
+    assert abs(last.doppler_hz[i12] + 1500.0) < 5.0
+    assert last.cn0_dbhz[i5] > 40.0
+
+
+def test_prefetch_chunk_reacquisition():
+    """A PRN appearing mid-run is picked up by the on-chunk search in
+    prefetch mode; the handoff lands one superepoch later than serial
+    (lagged supervision) and must still confirm and track."""
+    src = LateSvSource(SIG, SATS, 1700, switch_ms=400)
+    sink = io.StringIO()
+    mgr = ChannelManager(
+        src, _cfg(), telemetry=Telemetry(sink=sink), epoch_ms=100,
+        reacq_period_ms=300, cn0_drop_dbhz=35.0, prn_pool=[5, 12],
+        sync_every=4, prefetch=True)
+    recs = mgr.run(1600)
+    evs = [json.loads(e) for e in sink.getvalue().splitlines()
+           if '"event"' in e]
+    starts = [e for e in evs if e["what"] == "channel_start"]
+    assert any(s["prn"] == 5 and s["epoch_ms"] == 0 for s in starts)
+    late = [s for s in starts if s["prn"] == 12]
+    assert late and late[0]["epoch_ms"] >= 400
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+    i12 = list(last.prn).index(12)
+    assert abs(last.doppler_hz[i12] + 1500.0) < 5.0
+
+
 class LateSvSource:
     """Second satellite appears only after switch_ms: exercises the
     on-chunk reacquisition path while the first SV is already tracking."""

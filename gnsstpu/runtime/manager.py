@@ -227,6 +227,7 @@ class ChannelManager:
             self._unpack_jit = jax.jit(
                 lambda p: _unpack.unpack(p, self.wire))
         self._acq_chunk_fn = None   # lazy jitted on-chunk acq program
+        self._acq_offs = None       # FDMA channel offsets (on-chunk acq)
         # Fixed superepoch chunk / per-epoch window geometry: one
         # compiled tracker program regardless of sync_every or tail
         # length. The tracker sees only its epoch's window (the fused
@@ -249,6 +250,11 @@ class ChannelManager:
             return state, obs
 
         self._step_epoch = step_epoch
+        # Prefetch mode fuses a whole superepoch (k epochs + device
+        # summaries + the sample_pos retarget) into ONE jitted scan
+        # program: on a high-RTT host<->device link, per-epoch dispatch
+        # issue alone otherwise dominates the wall clock.
+        self._super_steps: Dict[int, object] = {}
 
     # --- slot control ---
 
@@ -424,7 +430,14 @@ class ChannelManager:
     def _make_acq_chunk_fn(self):
         """Jitted cold-search over the leading window of an already
         uploaded device chunk — the pipelined path's reacquisition rides
-        the superepoch's transfer instead of paying its own (CDMA only)."""
+        the superepoch's transfer instead of paying its own.
+
+        CDMA: all-PRN code bank against the Doppler grid. FDMA
+        (GLONASS L1/L2): one shared code row against the flattened
+        channel x Doppler carrier grid (acquisition.search.acquire_fdma
+        semantics, reference GLONASS/L1/acquisition.sci:95-193), so a
+        live FDMA run's scheduled searches also ride the uploaded chunk
+        instead of paying a separate host read + upload each."""
         from gnsstpu.acquisition.search import _windows_of
         from gnsstpu.ops import fft_acquire
 
@@ -437,11 +450,26 @@ class ChannelManager:
         fd_re, fd_im = fft_acquire.code_fd_table(
             sig.signal, sig.fs, sig.code_freq, sig.code_length,
             acq.coherent_ms)
-        dopp = fft_acquire.doppler_grid(
-            sig.if_freq, acq.doppler_band, acq.doppler_bin_step())
+        fdma = self.sd.fdma_zero_prn is not None
+        if fdma:
+            fd_re, fd_im = fd_re[:1], fd_im[:1]   # one shared code
+            carr_all = np.array([self.sd.carrier_freq(p)
+                                 for p in range(1, self.sd.num_prn + 1)])
+            offs = carr_all - self.sd.carrier_freq(self.sd.fdma_zero_prn)
+            dopp = fft_acquire.doppler_grid(
+                0.0, acq.doppler_band, acq.doppler_bin_step())
+            grid = (sig.if_freq + offs[:, None]
+                    + dopp[None, :]).reshape(-1)
+            K, D = self.sd.num_prn, len(dopp)
+            self._acq_offs = offs
+        else:
+            dopp = fft_acquire.doppler_grid(
+                sig.if_freq, acq.doppler_band, acq.doppler_bin_step())
+            grid = dopp
+            self._acq_offs = None
         fd_re = jnp.asarray(fd_re)
         fd_im = jnp.asarray(fd_im)
-        dopp_dev = jnp.asarray(dopp, jnp.float32)
+        grid_dev = jnp.asarray(grid, jnp.float32)
         spchip = round(sig.fs / sig.code_freq)
 
         @jax.jit
@@ -450,8 +478,10 @@ class ChannelManager:
                 [jax.lax.dynamic_slice_in_dim(chunk, k * L, Lw)
                  for k in range(B)])
             cube = fft_acquire.acquire_cube(
-                blocks, fd_re, fd_im, dopp_dev, sig.fs, spc,
+                blocks, fd_re, fd_im, grid_dev, sig.fs, spc,
                 combine=combine)
+            if fdma:
+                cube = cube.reshape(K, D, spc)
             return fft_acquire.peak_metrics(
                 cube, samples_per_code=spc, samples_per_chip=spchip)
 
@@ -512,7 +542,10 @@ class ChannelManager:
         allowed = np.zeros(self.sd.num_prn, bool)
         allowed[[p - 1 for p in want]] = True
         detected = (metric > acq.threshold) & allowed
+        fdma = self._acq_offs is not None
         carr = self._acq_doppler[best_bin].astype(np.float64)
+        if fdma:   # absolute carrier: IF + channel offset + Doppler bin
+            carr = carr + self.sig.if_freq + self._acq_offs
         if acq.fine_doppler_ms > 0 and np.any(detected):
             k_ms = acq.fine_doppler_ms
             win = self._host_samples(base, (k_ms + 1) * self.sig.
@@ -535,6 +568,8 @@ class ChannelManager:
         fc = np.array([self.sd.carrier_freq(p)
                        for p in range(1, self.sd.num_prn + 1)], np.float64)
         fd = carr - self.sig.if_freq
+        if fdma:   # Doppler relative to each channel's own carrier
+            fd = fd - self._acq_offs
         step = spc * (1.0 - fd / fc)
         adv = np.maximum(np.ceil((head - abs_cp) / step), 0.0)
         abs_cp = abs_cp + adv * step
@@ -543,7 +578,7 @@ class ChannelManager:
         idle = [i for i, s in enumerate(self.slots)
                 if s.state is SlotState.IDLE]
         self._place(res, idle, want, base=0, epoch_ms=epoch_ms,
-                    fdma=False)
+                    fdma=fdma)
 
     # --- device-side epoch summary (pipelined readback) ---
 
@@ -614,12 +649,12 @@ class ChannelManager:
             return False
 
         # Host-path acquisition only when nothing tracks yet (no chunk
-        # to ride) or for FDMA; otherwise the search rides the chunk.
+        # to ride); otherwise the search — CDMA and FDMA alike — rides
+        # the uploaded superepoch chunk.
         active = [i for i, s in enumerate(self.slots)
                   if s.state is not SlotState.IDLE]
-        fdma = self.sd.fdma_zero_prn is not None
         acq_due = epoch_ms0 >= self._next_reacq_ms
-        if acq_due and (not active or fdma):
+        if acq_due and not active:
             t0 = time.perf_counter()
             self._try_acquire(epoch_ms0)
             self.tlm.task_health(epoch_ms0, "acquire",
@@ -694,14 +729,14 @@ class ChannelManager:
         want = self._want_prns()
         have_idle = any(s.state is SlotState.IDLE for s in self.slots)
         if acq_due and want and have_idle:
-            if not fdma and need_len >= self._acq_samples_needed_chunk():
+            if need_len >= self._acq_samples_needed_chunk():
                 if self._acq_chunk_fn is None:
                     self._acq_chunk_fn = self._make_acq_chunk_fn()
                 acq_fut = self._acq_chunk_fn(chunk_dev)
             else:
                 # Chunk too short for the configured search (e.g. a long
-                # weak-tier window) or FDMA: fall back to the host-path
-                # search after supervision rather than silently never
+                # weak-tier window): fall back to the host-path search
+                # after supervision rather than silently never
                 # reacquiring.
                 acq_host_fallback = True
             self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
@@ -789,6 +824,41 @@ class ChannelManager:
     # extra lag, and tracking output is bit-exact vs the serial loop
     # whenever no slot churn intervenes (tests/test_pipeline.py).
 
+    def _get_super_step(self, k: int):
+        """One compiled program per superepoch length k:
+        (chunk, bank, state, cn0_drop, delta, mask, newsp) ->
+        (state', (streams [k,E,C,L], stats [k,C,4])). delta/mask/newsp
+        retarget sample_pos (base tracking + fresh slot rows) inside
+        the same dispatch."""
+        fn = self._super_steps.get(k)
+        if fn is not None:
+            return fn
+        espc = self._espc
+        win_len = self._win_len
+        step_epoch = self._step_epoch
+        summarize = self._summarize
+
+        @jax.jit
+        def super_step(chunk, bank, state, cn0_drop, delta, mask,
+                       newsp):
+            sp = state.corr.sample_pos + delta
+            sp = jnp.where(mask, newsp, sp)
+            state = state._replace(corr=state.corr._replace(
+                sample_pos=sp))
+
+            def body(st, j):
+                win = jax.lax.dynamic_slice_in_dim(
+                    chunk, j * espc, win_len)
+                st, obs = step_epoch(win, bank, st)
+                return st, summarize(obs, cn0_drop)
+
+            state, outs = jax.lax.scan(body, state,
+                                       jnp.arange(k, dtype=jnp.int32))
+            return state, outs
+
+        self._super_steps[k] = super_step
+        return super_step
+
     def _prefetch_chunk(self, base: int, k: int) -> _Chunk:
         """Read + upload one superepoch chunk (runs on the reader
         thread; JAX dispatch is thread-safe)."""
@@ -801,29 +871,22 @@ class ChannelManager:
                       t_up=time.perf_counter() - t1)
 
     def _dispatch_superepoch(self, chunk: _Chunk, k: int, e0: int,
-                             entry_rel) -> _Inflight:
-        """Issue k chained epochs (+ a due acquisition search) against
-        an uploaded chunk — all device work is async. entry_rel: host
-        sample_pos rebase (pipeline entry only); otherwise the carried
-        device state is used untouched."""
+                             delta: int, mask: np.ndarray,
+                             newsp: np.ndarray) -> _Inflight:
+        """Issue one fused superepoch program (+ a due acquisition
+        search) against an uploaded chunk — all device work is async.
+        delta/mask/newsp retarget sample_pos to this chunk's base
+        (carried-state base tracking, entry rebase, fresh slot rows)
+        inside the dispatch."""
         epoch_ms0 = e0 * self.epoch_ms
         t0 = time.perf_counter()
         if self._bank_dev is None:
             self._bank_dev = {key: jnp.asarray(v)
                               for key, v in self._bank.items()}
-        state = self._state
-        if entry_rel is not None:
-            state = state._replace(corr=state.corr._replace(
-                sample_pos=entry_rel.astype(np.int32)))
-        espc = self._espc
-        outs = []
-        for j in range(k):
-            win = jax.lax.slice_in_dim(chunk.dev, j * espc,
-                                       j * espc + self._win_len)
-            state, obs = self._step_epoch(win, self._bank_dev, state)
-            outs.append(self._summarize(obs, np.float32(self.cn0_drop)))
-        self._state = state
-        packed = self._pack_epochs(outs)
+        self._state, packed = self._get_super_step(k)(
+            chunk.dev, self._bank_dev, self._state,
+            np.float32(self.cn0_drop), np.int32(delta), mask,
+            newsp.astype(np.int32))
         for leaf in jax.tree.leaves(packed):
             leaf.copy_to_host_async()
         acq_fut = None
@@ -833,9 +896,8 @@ class ChannelManager:
             want = self._want_prns()
             have_idle = any(s.state is SlotState.IDLE
                             for s in self.slots)
-            fdma = self.sd.fdma_zero_prn is not None
             if want and have_idle:
-                if (not fdma and chunk.need_len
+                if (chunk.need_len
                         >= self._acq_samples_needed_chunk()):
                     if self._acq_chunk_fn is None:
                         self._acq_chunk_fn = self._make_acq_chunk_fn()
@@ -959,23 +1021,25 @@ class ChannelManager:
                 if chunk.ended:
                     self.tlm.event(epoch_ms0, "end_of_data")
                     break
-                if entry_rel is None:
-                    # Retarget the carried sample_pos to this chunk's
-                    # base (base tracking + fresh allocation rows) —
-                    # pure device ops, no sync.
+                # sample_pos retarget for this dispatch: entry rebases
+                # every row from the host bookkeeping; steady state
+                # shifts the carried rows by the base-track delta and
+                # rewrites freshly allocated rows.
+                C = self.cfg.n_channels
+                if entry_rel is not None:
+                    delta = 0
+                    mask = np.ones(C, bool)
+                    newsp = entry_rel
+                else:
                     delta = self._det_base - base
-                    if delta or self._pending_allocs:
-                        sp = self._state.corr.sample_pos
-                        if delta:
-                            sp = sp + np.int32(delta)
-                        for i in self._pending_allocs:
-                            sp = sp.at[i].set(np.int32(round(
-                                self._abs_pos[i] - base)))
-                        self._state = self._state._replace(
-                            corr=self._state.corr._replace(
-                                sample_pos=sp))
+                    mask = np.zeros(C, bool)
+                    newsp = np.zeros(C, np.int64)
+                    for i in self._pending_allocs:
+                        mask[i] = True
+                        newsp[i] = round(self._abs_pos[i] - base)
                     self._pending_allocs = []
-                cur = self._dispatch_superepoch(chunk, k, e, entry_rel)
+                cur = self._dispatch_superepoch(chunk, k, e, delta,
+                                                mask, newsp)
                 self._det_base = base + k * espc
                 k_next = min(self.sync_every, n_epochs - e - k)
                 if k_next > 0:

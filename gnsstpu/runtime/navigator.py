@@ -114,13 +114,18 @@ class OnlineNavigator:
 
     def __init__(self, sig: SignalConfig, nav: NavConfig,
                  retry_ms: int = 2000, mode: str = "lsq",
-                 ekf_cfg=None):
+                 ekf_cfg=None, phase_rate: bool = False):
         if mode not in ("lsq", "ekf"):
             raise ValueError(f"mode {mode!r} not in ('lsq', 'ekf')")
         self.sig = sig
         self.nav = nav
         self.retry_ms = retry_ms
         self.mode = mode
+        # phase_rate: the EKF's range-rate observation comes from
+        # consecutive integrated-carrier-phase latches (delta-phase /
+        # dt) instead of the windowed instantaneous Doppler — lower
+        # noise once channels are phase-locked.
+        self.phase_rate = phase_rate
         self._decode, self._fns, self._min_idx = _family(sig.signal)
         self._period_ms = max(1, int(round(sig.code_period_s * 1e3)))
         self._min_wall_ms = self._min_idx * self._period_ms
@@ -317,6 +322,13 @@ class OnlineNavigator:
                     h["carr_doppler"])[off[p]: off[p] + n_ms]
                 carr[i] = self.sig.if_freq + fdma_off[i] + dopp
             ekf_kw = {"carr_freq": carr, "collect_meas": True}
+            if all("carr_cycles" in streams[p][0] for p in good):
+                cyc = np.zeros((len(good), n_ms))
+                for i, p in enumerate(good):
+                    h, _ = streams[p]
+                    cyc[i] = np.concatenate(
+                        h["carr_cycles"])[off[p]: off[p] + n_ms]
+                ekf_kw["carr_cycles"] = cyc
         sol = pvt.navigate(
             abs_sample=abs_sample, prns=good, subframe_start_ms=sf,
             tow_s=t0, ephs=ephs, sig=self.sig, nav=self.nav, n_ms=n_ms,
@@ -366,8 +378,15 @@ class OnlineNavigator:
                 continue
             dt = max((t - self._ekf_last_t) * 1e-3, 0.0)
             self._ekf_last_t = t
+            prr = m.get("prr")
+            if self.phase_rate and m.get("prr_phase") is not None:
+                pp = np.asarray(m["prr_phase"])
+                # Channels without two phase latches yet fall back to
+                # the Doppler-derived range rate.
+                prr = pp if prr is None else np.where(
+                    np.isfinite(pp), pp, prr)
             st = self.ekf.step(dt, m["sat_pos"], m["obs"],
-                               m.get("sat_vel"), m.get("prr"))
+                               m.get("sat_vel"), prr)
             rec = {
                 "t_ms": t, "x": float(st.pos[0]), "y": float(st.pos[1]),
                 "z": float(st.pos[2]), "vx": float(st.vel[0]),

@@ -105,6 +105,66 @@ class PackedArraySource(_PackedReadMixin):
         return self._n
 
 
+class DevicePackedArraySource(_PackedReadMixin):
+    """Packed wire-format source resident in device HBM.
+
+    The whole packed byte stream is uploaded once; read_packed() serves
+    device slices, so the ChannelManager's superepoch feed pays ZERO
+    per-chunk host->device transfer. Two uses: (1) replaying a recorded
+    signal from HBM at full device rate, (2) benchmarking the receiver
+    pipeline decoupled from the host link (the figure a PCIe-attached
+    host approaches, where upload is ~free). Host-side consumers (cold
+    acquisition, fine-Doppler refinement) read a retained host copy.
+    """
+
+    def __init__(self, samples_iq: np.ndarray, fmt: str = "sm2",
+                 scale: float = 1.0):
+        import jax
+
+        from gnsstpu.ops import unpack as up
+
+        self.wire_format = fmt
+        self._fmt = fmt
+        n = len(samples_iq)
+        n -= n % up.align(fmt)
+        self.packed = up.pack(np.asarray(samples_iq)[:n], fmt, scale)
+        self.packed_dev = jax.device_put(self.packed)
+        self._n = n
+        self._spb = up.samples_per_byte(fmt)
+
+    def read_packed(self, start: int, count: int):
+        """Device uint8 slice covering samples [start, start+count);
+        out-of-range regions clamp (callers bound reads by len())."""
+        import jax
+
+        from gnsstpu.ops import unpack as up
+
+        a = up.align(self._fmt)
+        if start % a or count % a:
+            raise ValueError(f"unaligned packed read ({start}, {count})")
+        b0 = max(int(start / self._spb), 0)
+        nb = int(count / self._spb)
+        return jax.lax.dynamic_slice_in_dim(self.packed_dev, b0, nb)
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        from gnsstpu.ops import unpack as up
+
+        a = up.align(self._fmt)
+        s0 = max(start - start % a, 0)
+        n = count + (start - s0)
+        n += (-n) % a
+        b0 = int(s0 / self._spb)
+        seg = self.packed[b0: b0 + int(n / self._spb)]
+        dec = up.unpack_np(seg, self._fmt)
+        out = np.zeros((count, 2), np.float32)
+        got = dec[start - s0: start - s0 + count]
+        out[: len(got)] = got
+        return out
+
+    def __len__(self) -> int:
+        return self._n
+
+
 class FileSource:
     """Raw IF sample file source.
 

@@ -142,7 +142,7 @@ def test_live_ekf_mode_beats_lsq_scatter(tmp_path):
     navr = OnlineNavigator(
         sig, NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
                        use_tropo=False),
-        retry_ms=300, mode="ekf")
+        retry_ms=300, mode="ekf", phase_rate=True)
     with open(log, "w") as sink:
         mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                              epoch_ms=100, reacq_period_ms=10 ** 9,

@@ -169,7 +169,8 @@ def bench_acquisition(sig, k_lo=4, k_hi=24, fft_mode="auto"):
 
 def bench_manager(sig, seconds=40, n_channels=12, epoch_ms=500,
                   sync_every=8, wire="sm2", reacq_period_ms=1000,
-                  prefetch=True, device_resident=False):
+                  prefetch=True, device_resident=False,
+                  readback="compact"):
     """Sustained end-to-end: the pipelined ChannelManager (production
     fused engine, superepoch batching, 2-bit GN3S-format wire with
     device-side unpack) over a pre-generated signal — includes host
@@ -224,7 +225,7 @@ def bench_manager(sig, seconds=40, n_channels=12, epoch_ms=500,
         src, cfg, telemetry=Telemetry(sink=io.StringIO()),
         epoch_ms=epoch_ms, reacq_period_ms=reacq_period_ms,
         sync_every=sync_every,
-        prn_pool=pool, prefetch=prefetch)
+        prn_pool=pool, prefetch=prefetch, readback=readback)
     mgr.run(warm_ms)                 # warmup: acquire + compile
     t0 = time.perf_counter()
     recs = mgr.run(n_ms - warm_ms)
@@ -254,6 +255,7 @@ def bench_manager(sig, seconds=40, n_channels=12, epoch_ms=500,
         "sync_every": sync_every,
         "wire": wire,
         "prefetch": prefetch,
+        "readback": readback,
         "device_resident": device_resident,
         "reacq_period_ms": reacq_period_ms,
         "link_upload_mbps": round(up_mbps, 1),

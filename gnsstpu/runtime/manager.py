@@ -136,7 +136,8 @@ class ChannelManager:
                  commands=None, engine: str = "auto", navigator=None,
                  sync_every: int = 1, wire: str = "auto",
                  spread_budget_s: float = 900.0,
-                 prefetch: bool = False, readback: str = "f32"):
+                 prefetch: bool = False, readback: str = "f32",
+                 history_window_ms: Optional[int] = None):
         self.source = source
         self.cfg = cfg
         self.sig = cfg.signal
@@ -176,6 +177,7 @@ class ChannelManager:
         self._src_lock = threading.Lock()
         self._alloc_log: Optional[list] = None
         self._chunk_cache = None        # (base, host buf) of last chunk
+        self._consec_restarts = 0
         self._stop = False
         # SV_Select warm start (sv_select.cpp SetupRequest): the live
         # navigator publishes predicted-visible PRNs from a decoded
@@ -228,6 +230,15 @@ class ChannelManager:
         self._drift_margin = 64 + int(np.ceil(
             lag * self.sync_every * epoch_ms * 1e-3 * 2e-5 * self.sig.fs
             + spread_budget_s * 6.4e-6 * self.sig.fs))
+        # Bounded live retention (reference bound: the fixed 4000-deep
+        # FIFO + fixed-length trackResults arrays): with a window, per-
+        # PRN prompt history older than history_window_ms is evicted
+        # (head-trimmed whole epoch chunks; h['evicted'] counts dropped
+        # code periods so navigator index math stays absolute) and
+        # `records` keeps only the trailing window. None = unbounded
+        # (offline analysis). Choose a window >= the constellation's
+        # decode need (~36 s covers every family's frame cycle).
+        self.history_window_ms = history_window_ms
         self.records: List[EpochRecord] = []
         self.history: Dict[int, dict] = {}         # prn -> prompt streams
         self._summarize = self._make_summarize()
@@ -309,6 +320,7 @@ class ChannelManager:
         # Doppler/blksize streams (tracking.carrier).
         from gnsstpu.tracking.carrier import CarrierPhaseAccumulator
         hist["carr_cycles"] = []
+        hist["evicted"] = 0
         hist["_cph"] = CarrierPhaseAccumulator(
             int(self._bank["carr_base"][slot_idx]), self.sig.fs,
             doppler_hz)
@@ -382,6 +394,7 @@ class ChannelManager:
             else:
                 buf = np.concatenate(
                     [np.asarray(buf), np.zeros(pad_shape, pad_dtype)])
+        self._consec_restarts = 0
         return buf, ended, need_len
 
     def _read_chunk(self, start: int, count: int):
@@ -423,8 +436,13 @@ class ChannelManager:
                     hasattr(self.source, "ended_at")
                     and self.source.ended_at(self._cursor + need)):
                 return
-        with self._src_lock:
-            samples = self.source.read(self._cursor, need)
+        try:
+            with self._src_lock:
+                samples = self.source.read(self._cursor, need)
+        except TimeoutError:
+            if self._recover_stall(epoch_ms):
+                return
+            raise
         if not np.any(samples):
             return
         fdma = self.sd.fdma_zero_prn is not None
@@ -661,8 +679,28 @@ class ChannelManager:
         materialized (np) packed readback in either wire format."""
         if self.readback != "compact":
             return raw
-        pp, rem, blkd, dopp, st = raw
         dual = self.eng.has_data_component
+        if isinstance(raw, np.ndarray) and raw.dtype == np.uint8:
+            # Byte-packed superepoch buffer (prefetch super_step).
+            P = 4 if dual else 2
+            E, C = self._bpe, self.cfg.n_channels
+            per_k = E * C * (2 * P + 2 + 2 + 4) + C * 16
+            K = raw.size // per_k
+            n = [K * E * C * P * 2, K * E * C * 2, K * E * C * 2,
+                 K * E * C * 4, K * C * 16]
+            o = np.cumsum([0] + n)
+            pp = np.frombuffer(raw[o[0]:o[1]],
+                               np.float16).reshape(K, E, C, P)
+            rem = np.frombuffer(raw[o[1]:o[2]],
+                                np.float16).reshape(K, E, C)
+            blkd = np.frombuffer(raw[o[2]:o[3]],
+                                 np.int16).reshape(K, E, C)
+            dopp = np.frombuffer(raw[o[3]:o[4]],
+                                 np.float32).reshape(K, E, C)
+            st = np.frombuffer(raw[o[4]:o[5]],
+                               np.float32).reshape(K, C, 4)
+        else:
+            pp, rem, blkd, dopp, st = raw
         K, E, C = dopp.shape
         L = 7 if dual else 5
         streams = np.empty((K, E, C, L), np.float32)
@@ -739,7 +777,12 @@ class ChannelManager:
                 self._abs_pos[i] = base
 
         t_read0 = time.perf_counter()
-        buf, ended, need_len = self._read_superepoch(base, k)
+        try:
+            buf, ended, need_len = self._read_superepoch(base, k)
+        except TimeoutError:
+            if self._recover_stall(epoch_ms0):
+                return True
+            raise
         if ended:
             self.tlm.event(epoch_ms0, "end_of_data")
             return False
@@ -895,6 +938,7 @@ class ChannelManager:
         win_len = self._win_len
         step_epoch = self._step_epoch
         summarize = self._summarize
+        compact = self.readback == "compact"
 
         @jax.jit
         def super_step(chunk, bank, state, cn0_drop, delta, mask,
@@ -912,6 +956,14 @@ class ChannelManager:
 
             state, outs = jax.lax.scan(body, state,
                                        jnp.arange(k, dtype=jnp.int32))
+            if compact:
+                # ONE device->host buffer for the whole superepoch:
+                # per-leaf fetches each pay a fixed link cost, so the
+                # compact tuple's 5 leaves are bitcast to bytes and
+                # concatenated (decoded by _decode_readback).
+                outs = jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(
+                        o, jnp.uint8).reshape(-1) for o in outs])
             return state, outs
 
         self._super_steps[k] = super_step
@@ -1069,13 +1121,20 @@ class ChannelManager:
                     nxt = None
                     entry = False
                 base = self._cursor
-                if nxt is not None:
-                    chunk = nxt.result()
-                    nxt = None
-                    if chunk.base != base or chunk.k < k:
+                try:
+                    if nxt is not None:
+                        chunk = nxt.result()
+                        nxt = None
+                        if chunk.base != base or chunk.k < k:
+                            chunk = self._prefetch_chunk(base, k)
+                    else:
                         chunk = self._prefetch_chunk(base, k)
-                else:
-                    chunk = self._prefetch_chunk(base, k)
+                except TimeoutError:
+                    nxt = None
+                    if self._recover_stall(epoch_ms0):
+                        entry = True
+                        continue
+                    raise
                 if chunk.ended:
                     self.tlm.event(epoch_ms0, "end_of_data")
                     break
@@ -1277,6 +1336,33 @@ class ChannelManager:
             self.navigator.poll(self, epoch_ms)
             self.tlm.task_health(epoch_ms, "pvt",
                                  time.perf_counter() - t0)
+        self._trim_history()
+
+    _HIST_LANES = ("i_p", "q_p", "carr_doppler", "abs_sample",
+                   "carr_cycles", "i_p2", "q_p2")
+
+    def _trim_history(self) -> None:
+        """Evict per-PRN prompt history (whole epoch chunks) and epoch
+        records older than history_window_ms; h['evicted'] counts the
+        dropped code periods so consumers keep absolute indexing."""
+        if self.history_window_ms is None:
+            return
+        wb = self.history_window_ms // self.eng.period_ms
+        for s in self.slots:
+            h = self.history.get(s.prn) if s.prn else None
+            if h is None or not h["i_p"]:
+                continue
+            total = sum(len(a) for a in h["i_p"])
+            while h["i_p"] and total - len(h["i_p"][0]) >= wb:
+                n0 = len(h["i_p"][0])
+                for k in self._HIST_LANES:
+                    if h.get(k):
+                        h[k].pop(0)
+                h["evicted"] += n0
+                total -= n0
+        max_rec = max(1, self.history_window_ms // self.epoch_ms)
+        if len(self.records) > max_rec:
+            del self.records[: len(self.records) - max_rec]
 
     def _apply_commands(self, epoch_ms: int) -> None:
         """Commando equivalent: apply JSON-line runtime commands at the
@@ -1316,11 +1402,42 @@ class ChannelManager:
 
     def _watchdog(self) -> None:
         """Patience equivalent: a live source that stops producing for
-        stall_timeout_s raises instead of hanging the pipeline."""
+        stall_timeout_s is restarted (recoverable sources) or raises."""
         if time.monotonic() - self._last_progress > self.stall_timeout_s:
+            if self._recover_stall(-1):
+                return
             self.tlm.event(-1, "watchdog_stall")
             raise TimeoutError(
                 f"sample source stalled > {self.stall_timeout_s}s")
+
+    def _recover_stall(self, epoch_ms: int) -> bool:
+        """Patience-thread recovery (reference patience.cpp:80-104
+        Stop -> ResetSource -> Start): restart the producer through the
+        source's restart hook, re-anchor every channel at the stream
+        head for re-acquisition, and continue the run. False = source
+        not restartable or restarts keep failing (caller re-raises)."""
+        src = self.source
+        if not getattr(src, "can_restart", False):
+            return False
+        self._consec_restarts += 1
+        if self._consec_restarts > 3:
+            return False
+        self.tlm.event(epoch_ms, "watchdog_restart",
+                       attempt=self._consec_restarts)
+        src.restart()
+        for i, s in enumerate(self.slots):
+            if s.state is not SlotState.IDLE:
+                self._drop(i, epoch_ms, why="watchdog_restart")
+        head = (int(src.position()) if hasattr(src, "position")
+                else self._cursor)
+        if self.wire is not None:
+            from gnsstpu.ops.unpack import align
+            head -= head % align(self.wire)
+        self._cursor = max(self._cursor, head)
+        self._abs_pos[:] = self._cursor
+        self._next_reacq_ms = max(0, epoch_ms)
+        self._last_progress = time.monotonic()
+        return True
 
     # --- history accessors ---
 

@@ -246,12 +246,16 @@ class OnlineNavigator:
             if epoch_ms < self._next_try.get(prn, self._min_wall_ms):
                 continue
             self._next_try[prn] = epoch_ms + self.retry_ms
-            _, ip = self._stream(mgr, prn)
+            h, ip = self._stream(mgr, prn)
             if len(ip) < self._min_idx:
                 continue
             got = self._decode(ip, bit_len)
             if got is None:
                 continue
+            # Anchor indexes are ABSOLUTE stream positions: decode ran
+            # on the retained buffer, which may have evicted its head
+            # (manager.history_window_ms bounded-memory mode).
+            got = (got[0] + h.get("evicted", 0), got[1], got[2])
             self.decoded[prn] = got
             # Headline orbit fields ride the event so operator surfaces
             # (station 'eph' page = gse gui_ephemeris) can browse them.
@@ -284,11 +288,24 @@ class OnlineNavigator:
         # Stream indexes are CODE PERIODS (4 ms for Galileo E1), while
         # start_ms is wall milliseconds.
         off = {p: (common - start[p]) // self._period_ms for p in good}
-        n_ms = min(sum(len(a) for a in streams[p][0]["abs_sample"])
+        # Retained-buffer geometry in ALIGNED indexes: channel data
+        # exists for aligned k with k + off[p] in
+        # [evicted_p, evicted_p + buflen_p) (bounded-memory mode evicts
+        # stream heads; h['evicted'] keeps indexing absolute).
+        ev = {p: streams[p][0].get("evicted", 0) for p in good}
+        n_ms = min(ev[p] + sum(len(a)
+                               for a in streams[p][0]["abs_sample"])
                    - off[p] for p in good)
-        if n_ms <= 0:
-            return
+        k_lo = max([0] + [ev[p] - off[p] for p in good])
         period = self.sig.code_period_s
+        step_p = max(1, int(round(self.nav.sol_period_ms * 1e-3
+                                  / period)))
+        # Rolling solve window: only the trailing epochs need solving
+        # (earlier ones were solved by previous polls; _emitted_t
+        # dedupes); this keeps per-poll cost constant over a long run.
+        k_lo = max(k_lo, n_ms - 8 * step_p)
+        if n_ms - k_lo <= 0:
+            return
         # Per channel: transmit time of the code start at ALIGNED index 0
         # (t_anchor refers to own-stream index anchor = aligned index
         # anchor - off). The common epoch t0 = latest of these puts every
@@ -296,14 +313,30 @@ class OnlineNavigator:
         t00 = {p: self.decoded[p][1]
                - (self.decoded[p][0] - off[p]) * period for p in good}
         t0 = max(t00.values())
-        sf = [int(round((t0 - t00[p]) / period)) for p in good]
-        if max(sf) >= n_ms:
+        sf = np.array([int(round((t0 - t00[p]) / period))
+                       for p in good])
+        # Rebase the window origin to k_lo: advance every anchor by
+        # whole solution steps so sf stays >= 0 inside the window, and
+        # remember the shift to report t_ms in the aligned-stream base.
+        if k_lo > 0:
+            k0 = max(0, int(max(np.ceil((k_lo - sf) / step_p))))
+            sf_w = sf + k0 * step_p - k_lo
+            tow_w = t0 + k0 * step_p * period
+        else:
+            k0 = 0
+            sf_w = sf
+            tow_w = t0
+        n_w = n_ms - k_lo
+        if int(sf_w.max()) >= n_w:
             return
-        abs_sample = np.zeros((len(good), n_ms))
-        for i, p in enumerate(good):
+        t_shift_ms = k_lo * period * 1e3
+
+        def lane(p, key):
             h, _ = streams[p]
-            abs_sample[i] = np.concatenate(
-                h["abs_sample"])[off[p]: off[p] + n_ms]
+            a = np.concatenate(h[key])
+            return a[k_lo + off[p] - ev[p]: n_ms + off[p] - ev[p]]
+
+        abs_sample = np.stack([lane(p, "abs_sample") for p in good])
         ephs = {p: self.decoded[p][2] for p in good}
         ekf_kw = {}
         if self.mode == "ekf":
@@ -315,24 +348,21 @@ class OnlineNavigator:
                 fdma_off = np.array(
                     [sd.carrier_freq(p)
                      - sd.carrier_freq(sd.fdma_zero_prn) for p in good])
-            carr = np.zeros((len(good), n_ms))
-            for i, p in enumerate(good):
-                h, _ = streams[p]
-                dopp = np.concatenate(
-                    h["carr_doppler"])[off[p]: off[p] + n_ms]
-                carr[i] = self.sig.if_freq + fdma_off[i] + dopp
+            carr = np.stack([lane(p, "carr_doppler") for p in good])
+            carr += (self.sig.if_freq + fdma_off[:, None])
             ekf_kw = {"carr_freq": carr, "collect_meas": True}
             if all("carr_cycles" in streams[p][0] for p in good):
-                cyc = np.zeros((len(good), n_ms))
-                for i, p in enumerate(good):
-                    h, _ = streams[p]
-                    cyc[i] = np.concatenate(
-                        h["carr_cycles"])[off[p]: off[p] + n_ms]
-                ekf_kw["carr_cycles"] = cyc
+                ekf_kw["carr_cycles"] = np.stack(
+                    [lane(p, "carr_cycles") for p in good])
         sol = pvt.navigate(
-            abs_sample=abs_sample, prns=good, subframe_start_ms=sf,
-            tow_s=t0, ephs=ephs, sig=self.sig, nav=self.nav, n_ms=n_ms,
+            abs_sample=abs_sample, prns=good,
+            subframe_start_ms=list(sf_w),
+            tow_s=tow_w, ephs=ephs, sig=self.sig, nav=self.nav,
+            n_ms=n_w,
             satpos_fn=self._fns[0], satvel_fn=self._fns[1], **ekf_kw)
+        sol.t_ms += t_shift_ms
+        for m in sol.meas:
+            m["t_ms"] += t_shift_ms
         if self.mode == "ekf":
             self._feed_ekf(mgr, sol)
         for k in range(len(sol.t_ms)):

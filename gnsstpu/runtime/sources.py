@@ -302,6 +302,30 @@ class StreamSource:
                               np.float32)
         self._end = 0            # absolute samples consumed from the FIFO
         self._eos = False
+        self._restart_factory = None
+        self.restarts = 0
+
+    def set_restart(self, factory) -> "StreamSource":
+        """Arm Patience-style recovery: factory() must stop/replace the
+        producer and return a STARTED producer feeding this source's
+        FIFO (reference patience.cpp:80-104 Stop -> ResetSource ->
+        Start). The ChannelManager calls restart() on a stall instead
+        of raising."""
+        self._restart_factory = factory
+        return self
+
+    @property
+    def can_restart(self) -> bool:
+        return self._restart_factory is not None
+
+    def restart(self) -> None:
+        self._eos = False
+        self.restarts += 1
+        self._restart_factory()
+
+    def position(self) -> int:
+        """Absolute sample position of the stream head (produced)."""
+        return self._end
 
     def _pump_until(self, need_end: int) -> None:
         import time as _time
@@ -496,6 +520,13 @@ class PackedStreamSource(_PackedReadMixin):
         self._hist = np.zeros(self.hist_blocks * self._bpb, np.uint8)
         self._end = 0            # absolute SAMPLES consumed from the FIFO
         self._eos = False
+        self._restart_factory = None
+        self.restarts = 0
+
+    set_restart = StreamSource.set_restart
+    can_restart = StreamSource.can_restart
+    restart = StreamSource.restart
+    position = StreamSource.position
 
     def _pump_until(self, need_end_samples: int) -> None:
         import time as _time

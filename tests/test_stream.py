@@ -232,3 +232,66 @@ def test_packed_stream_udp_to_manager():
     assert int(last.prn[0]) == 6
     assert abs(last.doppler_hz[0] + 1100.0) < 5.0
     assert last.cn0_dbhz[0] > 40.0
+
+
+def test_watchdog_restart_recovers_tracking():
+    """Patience RECOVERY (reference patience.cpp:80-104
+    Stop -> ResetSource -> Start): a producer that stalls mid-run is
+    restarted via the source's restart hook; the manager emits one
+    watchdog_restart event, re-anchors its channels at the stream head,
+    re-acquires, and ends the run tracking."""
+    sats = [SatParams(prn=5, doppler_hz=900.0, code_phase_chips=200.5,
+                      cn0_dbhz=47.0),
+            SatParams(prn=12, doppler_hz=-1500.0,
+                      code_phase_chips=700.25, cn0_dbhz=46.0)]
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=3)
+    blk = SIG.samples_per_code
+    fifo = native.RingFifo(depth=256, block_bytes=blk * 8)
+    n_ms = 2000
+    stall_at = 700
+
+    def produce(ms0, ms1):
+        def run():
+            for m in range(ms0, ms1):
+                b = np.asarray(sim.generate(1, m), np.float32)
+                if fifo.push(b.view(np.uint8).reshape(-1),
+                             timeout_ms=5000) != 1:
+                    return
+            if ms1 >= n_ms + 50:
+                fifo.close()
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return t
+
+    produce(0, stall_at)          # first producer: stalls, never closes
+
+    def factory():
+        return produce(stall_at, n_ms + 50)
+
+    src = StreamSource(fifo, blk, timeout_s=1.0).set_restart(factory)
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=6e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(5, 12), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=3)
+    sink = io.StringIO()
+    mgr = ChannelManager(
+        src, cfg, telemetry=Telemetry(sink=sink), epoch_ms=100,
+        reacq_period_ms=300, cn0_drop_dbhz=35.0, prn_pool=[5, 12],
+        sync_every=2)
+    recs = mgr.run(n_ms)
+
+    evs = [json.loads(l) for l in sink.getvalue().splitlines()]
+    restarts = [e for e in evs if e.get("what") == "watchdog_restart"]
+    assert len(restarts) == 1 and src.restarts == 1
+    drops = [e for e in evs if e.get("what") == "channel_drop"
+             and e.get("why") == "watchdog_restart"]
+    assert len(drops) == 2
+    # Channels re-acquired after the restart and track at the end.
+    t_restart = restarts[0]["epoch_ms"]
+    re_starts = [e for e in evs if e.get("what") == "channel_start"
+                 and e["epoch_ms"] > t_restart]
+    assert {e["prn"] for e in re_starts} == {5, 12}
+    last = recs[-1]
+    assert {int(p) for p in last.prn if p} == {5, 12}

@@ -158,6 +158,10 @@ class NavConfig:
     # Steer the epoch transmit-time advance by the solved clock drift
     # (the real-time receiver's clock steering, objects/pvt.cpp:379).
     clock_steering: bool = False
+    # Apply the broadcast Klobuchar iono correction when a decoded
+    # alpha/beta page is available (nav.iono; the reference decodes but
+    # never applies it, objects/ephemeris.cpp:314).
+    use_iono: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

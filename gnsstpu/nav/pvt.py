@@ -428,7 +428,8 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
              carrier_hz: Optional[np.ndarray] = None,
              satpos_fn=None, satvel_fn=None,
              collect_meas: bool = False,
-             carr_cycles: Optional[np.ndarray] = None) -> NavSolutions:
+             carr_cycles: Optional[np.ndarray] = None,
+             iono=None) -> NavSolutions:
     """Epoch loop: pseudoranges -> satpos -> LSQ (postNavigation.sci:154+).
 
     abs_sample: [C, n_ms] from TrackResults (channels in `prns` order).
@@ -513,11 +514,29 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
             code_period_s=period_s)
         sat_p, sat_clk = satpos_fn(transmit_time,
                                    [ephs[prns[c]] for c in active])
-        sol = least_square_pos_raim(sat_p, raw_p + sat_clk * SPEED_OF_LIGHT,
+        obs_vec = raw_p + sat_clk * SPEED_OF_LIGHT
+        sol = least_square_pos_raim(sat_p, obs_vec,
                                     use_tropo=nav.use_tropo,
                                     iterations=nav.lsq_iterations)
         if not sol.ok:
             continue
+        if iono is not None:
+            # Broadcast Klobuchar correction (the reference only
+            # DECODES the alpha/beta page, objects/ephemeris.cpp:314;
+            # applying it is a strict improvement): delays evaluated at
+            # the first solve's geometry, pseudoranges corrected, one
+            # re-solve.
+            from gnsstpu.nav import iono as iono_mod
+            lat_i, lon_i, _ = geodesy.cart2geo(*sol.pos[:3], 5)
+            d = iono_mod.klobuchar_delay(iono, lat_i, lon_i, sol.az,
+                                         sol.el, transmit_time)
+            sol2 = least_square_pos_raim(
+                sat_p, obs_vec - d * SPEED_OF_LIGHT,
+                use_tropo=nav.use_tropo,
+                iterations=nav.lsq_iterations)
+            if sol2.ok:
+                obs_vec = obs_vec - d * SPEED_OF_LIGHT
+                sol = sol2
         prev_elev = sat_elev
         sat_elev = np.full(C, -np.inf)
         sat_elev[active] = np.where(sol.used, sol.el,
@@ -537,7 +556,7 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
                 "t_ms": float(out.t_ms[k]),
                 "prns": [prns[c] for c in active[sol.used]],
                 "sat_pos": sat_p[sol.used],
-                "obs": (raw_p + sat_clk * SPEED_OF_LIGHT)[sol.used],
+                "obs": obs_vec[sol.used],
             }
             if carr_cycles is not None:
                 # Integrated carrier phase latched at the measurement

@@ -23,6 +23,12 @@ import os
 from typing import Dict, IO, List, Optional, Union
 
 
+def _std(vals) -> float:
+    n = len(vals)
+    m = sum(vals) / n
+    return (sum((v - m) ** 2 for v in vals) / n) ** 0.5
+
+
 class CommandBus:
     """Poll JSON-line commands from a file/pipe (Commando equivalent).
 
@@ -75,7 +81,7 @@ class StatusBoard:
     or a whole JSONL file, then render().
     """
 
-    PAGES = ("channels", "pvt", "health", "events", "eph", "alm")
+    PAGES = ("channels", "pvt", "ekf", "health", "events", "eph", "alm")
 
     def __init__(self, n_events: int = 6):
         self.channels: Dict[int, dict] = {}
@@ -86,6 +92,9 @@ class StatusBoard:
         self.source: Optional[dict] = None    # stream FIFO counters
         self.ephs: Dict[int, dict] = {}       # prn -> decoded orbit fields
         self.almanac: Optional[dict] = None   # latest almanac_decoded event
+        self.ekf: Optional[dict] = None       # latest 'ekf' record
+        self.ekf_history: List[dict] = []
+        self.visibility: Optional[dict] = None  # latest sv_visibility
         self.n_events = n_events
         self.epoch_ms = 0
 
@@ -98,6 +107,10 @@ class StatusBoard:
             self.pvt = rec
             self.pvt_history.append(rec)
             del self.pvt_history[:-64]
+        elif t == "ekf":
+            self.ekf = rec
+            self.ekf_history.append(rec)
+            del self.ekf_history[:-64]
         elif t == "task_health":
             if rec.get("stage") == "source":
                 self.source = rec
@@ -115,6 +128,8 @@ class StatusBoard:
                 self.ephs[rec["prn"]] = rec
             elif rec.get("what") == "almanac_decoded":
                 self.almanac = rec
+            elif rec.get("what") == "sv_visibility":
+                self.visibility = rec
             self.events.append(rec)
             if rec.get("what") == "channel_drop":
                 ch = self.channels.get(rec.get("chan", -1))
@@ -132,6 +147,8 @@ class StatusBoard:
         hdr = f"== gnsstpu {page} @ {self.epoch_ms} ms =="
         if page == "pvt":
             return "\n".join([hdr] + self._render_pvt())
+        if page == "ekf":
+            return "\n".join([hdr] + self._render_ekf())
         if page == "health":
             return "\n".join([hdr] + self._render_health())
         if page == "events":
@@ -142,13 +159,23 @@ class StatusBoard:
             if self.almanac is None:
                 return "\n".join([hdr, " (no almanac decoded yet)"])
             a = self.almanac
-            return "\n".join([
+            lines = [
                 hdr,
                 f" entries: {a.get('entries')}",
                 f" latest new: {a.get('new')}  from prn "
                 f"{a.get('prn_src')} @ {a.get('epoch_ms')} ms",
                 f" iono/UTC page: "
-                f"{'yes' if a.get('iono_utc') else 'no'}"])
+                f"{'yes' if a.get('iono_utc') else 'no'}"]
+            if self.visibility is not None:
+                # Sky view (gse gui_almanac az/el role): from the
+                # navigator's almanac+fix predictions.
+                lines.append(" prn    az      el   pred.dopp  vis")
+                for row in self.visibility.get("sats", []):
+                    prn, az, el, dopp, vis = row
+                    lines.append(
+                        f" {prn:3d}  {az:6.1f}  {el:6.1f}  "
+                        f"{dopp:+9.1f}   {'*' if vis else '-'}")
+            return "\n".join(lines)
         lines = [hdr, " ch  prn  state      C/N0   doppler    PLL"]
         for chan in sorted(self.channels):
             c = self.channels[chan]
@@ -170,18 +197,59 @@ class StatusBoard:
     def render_all(self) -> str:
         return "\n\n".join(self.render(p) for p in self.PAGES)
 
+    def pvt_enu(self) -> List[tuple]:
+        """Per-fix (dE, dN, dU) meters relative to the first fix (the
+        gse gui_pvt scatter's data)."""
+        import math
+        if not self.pvt_history:
+            return []
+        p0 = self.pvt_history[0]
+        scale = 111319.5
+        clat = math.cos(math.radians(p0["lat_deg"]))
+        return [((p["lon_deg"] - p0["lon_deg"]) * scale * clat,
+                 (p["lat_deg"] - p0["lat_deg"]) * scale,
+                 p["h_m"] - p0["h_m"]) for p in self.pvt_history]
+
     def _render_pvt(self) -> List[str]:
         if not self.pvt_history:
             return [" (no solutions yet)"]
-        lines = ["  epoch_ms        lat          lon        h [m]   nSV"]
-        for p in self.pvt_history[-12:]:
+        enu = self.pvt_enu()
+        lines = ["  epoch_ms        lat          lon        h [m]   nSV"
+                 "     dE [m]    dN [m]"]
+        for p, en in zip(self.pvt_history[-12:], enu[-12:]):
             lines.append(f"  {p.get('epoch_ms', 0):8d}  {p['lat_deg']:11.6f}"
                          f"  {p['lon_deg']:11.6f}  {p['h_m']:8.1f}"
-                         f"   {p['n_sv']:3d}")
+                         f"   {p['n_sv']:3d}  {en[0]:+9.2f} {en[1]:+9.2f}")
+        if len(enu) >= 2:
+            import math
+            e = [x[0] for x in enu]
+            n = [x[1] for x in enu]
+            lines.append(
+                f"  scatter over {len(enu)} fixes: sigmaE "
+                f"{_std(e):.2f} m  sigmaN {_std(n):.2f} m  span "
+                f"{math.hypot(max(e) - min(e), max(n) - min(n)):.2f} m")
         p = self.pvt
         for k in ("speed_ms", "hdop", "gdop"):
             if k in p:
                 lines.append(f"  {k}: {p[k]}")
+        return lines
+
+    def _render_ekf(self) -> List[str]:
+        """Filtered-navigation view (gse gui_ekf twin): the nav EKF's
+        state stream — position, velocity, clock, acceptance."""
+        if not self.ekf_history:
+            return [" (no EKF solutions yet — run --navigate ekf)"]
+        lines = ["  epoch_ms          x            y            z"
+                 "      vx     vy     vz   used"]
+        for r in self.ekf_history[-12:]:
+            lines.append(
+                f"  {r.get('epoch_ms', 0):8d}  {r['x']:12.1f} "
+                f"{r['y']:12.1f} {r['z']:12.1f}  {r['vx']:6.2f} "
+                f"{r['vy']:6.2f} {r['vz']:6.2f}   {r.get('n_used', 0):3d}")
+        r = self.ekf
+        lines.append(f"  clk {r.get('clk_m', 0.0):.1f} m  drift "
+                     f"{r.get('clk_drift_ms', 0.0):.3f} m/s  sigma_pos "
+                     f"{r.get('p_pos', 0.0):.2f} m")
         return lines
 
     def _render_health(self) -> List[str]:

@@ -216,11 +216,18 @@ class OnlineNavigator:
             t = (max(self.decoded[p][1] for p in self.decoded)
                  + epoch_ms * 1e-3)
             ephs = {p: a.to_ephemeris() for p, a in self.almanac.items()}
-            vis = set(visibility.visible_prns(
+            preds = visibility.predict(
                 ephs, t, rx, carrier_hz=mgr.sd.carrier_freq(1),
-                mask_deg=self.nav.elevation_mask_deg))
-            mgr.warm_visible = vis
+                mask_deg=self.nav.elevation_mask_deg)
+            mgr.warm_visible = {p.prn for p in preds if p.visible}
             mgr.warm_known = set(self.almanac)
+            # Sky view for the operator surfaces (gse gui_almanac's
+            # az/el display): per-SV az/el/Doppler predictions.
+            mgr.tlm.event(
+                epoch_ms, "sv_visibility",
+                sats=[[p.prn, round(p.az_deg, 1), round(p.el_deg, 1),
+                       round(p.doppler_hz, 1), int(p.visible)]
+                      for p in preds])
 
     def _stream(self, mgr, prn: int):
         h = mgr.history[prn]
@@ -354,6 +361,8 @@ class OnlineNavigator:
             if all("carr_cycles" in streams[p][0] for p in good):
                 ekf_kw["carr_cycles"] = np.stack(
                     [lane(p, "carr_cycles") for p in good])
+        if self.nav.use_iono and self.iono_utc is not None:
+            ekf_kw["iono"] = self.iono_utc
         sol = pvt.navigate(
             abs_sample=abs_sample, prns=good,
             subframe_start_ms=list(sf_w),

@@ -54,12 +54,14 @@ class GroundStation:
         self.page_idx = 0
         self.input_mode = False
         self.input_buf = ""
-        self.message = "keys: 1-6 pages  TAB next  : command  q quit"
+        self.message = (f"keys: 1-{len(self.PAGES)} pages  TAB next  "
+                        ": command  q quit")
         self.done = False
         self._pos = 0
         self._hist = hist
         self.cn0_hist: Dict[int, deque] = {}
         self.iq_hist: Dict[int, deque] = {}
+        self.dopp_hist: Dict[int, deque] = {}
 
     # -- telemetry ingestion --
 
@@ -88,6 +90,9 @@ class GroundStation:
                     self.cn0_hist.setdefault(
                         ch, deque(maxlen=self._hist)).append(
                             rec.get("cn0_dbhz", 0.0))
+                    self.dopp_hist.setdefault(
+                        ch, deque(maxlen=self._hist)).append(
+                            rec.get("doppler_hz", 0.0))
                     ia, qa = rec.get("ip_abs"), rec.get("qp_abs")
                     if ia is not None:
                         # I/Q balance: |Q|/(|I|+|Q|) ~ 0 when the Costas
@@ -163,11 +168,38 @@ class GroundStation:
         lines = self.board.render(page).splitlines()
         if page == "channels" and self.cn0_hist:
             lines.append(" ch   C/N0 [25..55 dB-Hz]          "
-                         "|Q|/(|I|+|Q|) [0..1]")
+                         "|Q|/(|I|+|Q|) [0..1]          doppler trend")
             for ch in sorted(self.cn0_hist):
                 cn0 = sparkline(self.cn0_hist[ch], 25.0, 55.0)
                 iq = sparkline(self.iq_hist.get(ch, []), 0.0, 1.0)
-                lines.append(f" {ch:2d}   {cn0:<24s}   {iq:<24s}")
+                dh = list(self.dopp_hist.get(ch, []))
+                if dh:
+                    # Self-scaled window: shows drift/steps, not value.
+                    lo, hi = min(dh), max(dh)
+                    mid = 0.5 * (lo + hi)
+                    half = max(0.5 * (hi - lo), 1.0)
+                    dp = sparkline(dh, mid - half, mid + half, 16)
+                    dp += f" {dh[-1]:+8.1f}"
+                else:
+                    dp = ""
+                lines.append(f" {ch:2d}   {cn0:<24s}   {iq:<24s}   {dp}")
+        if page == "pvt":
+            enu = self.board.pvt_enu()
+            if len(enu) >= 2:
+                e = [x[0] for x in enu]
+                n = [x[1] for x in enu]
+                u = [x[2] for x in enu]
+
+                def rng(v):
+                    mid = 0.5 * (min(v) + max(v))
+                    half = max(0.5 * (max(v) - min(v)), 0.5)
+                    return mid - half, mid + half
+
+                lines.append(" track (self-scaled):")
+                for name, v in (("dE", e), ("dN", n), ("dU", u)):
+                    lo, hi = rng(v)
+                    lines.append(f"  {name} [{lo:+7.1f}..{hi:+7.1f} m] "
+                                 f"{sparkline(v, lo, hi, 40)}")
         if self.input_mode:
             lines.append(f":{self.input_buf}▏")
         else:

@@ -158,3 +158,58 @@ def test_eph_browser_page():
     assert "prn   7" in page and "sqrtA=5153.712" in page
     assert "prn  12" in page and "tb=675" in page
     assert "eph" in b.render_all()
+
+
+def test_ekf_page_round_trips_records():
+    """'ekf' page (gse gui_ekf twin): EKF telemetry records render as
+    the filtered state table."""
+    from gnsstpu.runtime.console import StatusBoard
+
+    b = StatusBoard()
+    assert "no EKF" in b.render("ekf")
+    for k in range(3):
+        b.update({"type": "ekf", "epoch_ms": 500 * k,
+                  "x": 3427947.0 + k, "y": 603774.0, "z": 5326967.0,
+                  "vx": 0.1 * k, "vy": -0.2, "vz": 0.05,
+                  "clk_m": 12.5, "clk_drift_ms": 0.031,
+                  "n_used": 6, "p_pos": 3.2})
+    pg = b.render("ekf")
+    assert "3427949" in pg and "clk 12.5 m" in pg and "sigma_pos 3.2" in pg
+    assert len(b.ekf_history) == 3
+    assert "ekf" in StatusBoard.PAGES
+
+
+def test_pvt_page_enu_scatter():
+    """PVT history page shows E/N offsets + scatter summary (gse
+    gui_pvt scatter role)."""
+    from gnsstpu.runtime.console import StatusBoard
+
+    b = StatusBoard()
+    for k in range(6):
+        b.update({"type": "pvt", "epoch_ms": 500 * k,
+                  "lat_deg": 57.1 + 1e-6 * k, "lon_deg": 9.9,
+                  "h_m": 48.2, "n_sv": 6})
+    pg = b.render("pvt")
+    assert "dE [m]" in pg and "sigmaE" in pg and "span" in pg
+    enu = b.pvt_enu()
+    assert len(enu) == 6
+    # 1e-6 deg latitude steps ~ 0.111 m north steps.
+    assert abs(enu[-1][1] - 5 * 0.1113195) < 1e-3
+
+
+def test_alm_page_sky_view():
+    """The alm page renders per-SV az/el/Doppler from the navigator's
+    sv_visibility events (gse gui_almanac az/el display)."""
+    from gnsstpu.runtime.console import StatusBoard
+
+    b = StatusBoard()
+    b.update({"type": "event", "epoch_ms": 12000,
+              "what": "almanac_decoded", "prn_src": 5,
+              "new": [7, 9], "entries": [7, 9], "iono_utc": True})
+    b.update({"type": "event", "epoch_ms": 12000,
+              "what": "sv_visibility",
+              "sats": [[7, 123.4, 55.2, -1800.0, 1],
+                       [9, 301.0, 4.9, 2100.5, 0]]})
+    pg = b.render("alm")
+    assert "123.4" in pg and "55.2" in pg and "+2100.5" in pg
+    assert "*" in pg and "-" in pg

@@ -92,7 +92,7 @@ def test_station_command_roundtrip(tmp_path):
     assert station.cn0_hist              # sparkline history accumulated
     station.handle_key("TAB")
     assert station.page_idx == 1
-    station.handle_key("4")
+    station.handle_key(str(station.PAGES.index("events") + 1))
     page4 = station.render()
     assert "channel_drop" in page4       # events page shows the drop
 

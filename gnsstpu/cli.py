@@ -119,10 +119,14 @@ def cmd_track(args) -> int:
                                              StreamSource)
         blk = sig.samples_per_code
         fifo = native.RingFifo(depth=256, block_bytes=blk * 8)
+        src_fs = getattr(args, "source_fs", 0.0) or 0.0
         FileStreamProducer(
             args.file, fifo, blk, fmt=args.format,
             realtime_fs=(sig.fs if args.stream == "realtime" else 0.0),
-            skip_samples=args.skip_samples).start()
+            skip_samples=args.skip_samples,
+            fs_in=src_fs, fs_out=(sig.fs if src_fs else 0.0),
+            resample_mode=getattr(args, "resample_mode",
+                                  "polyphase")).start()
         src = StreamSource(fifo, blk)
     else:
         src = _file_source(args)

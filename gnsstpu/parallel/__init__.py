@@ -1,4 +1,5 @@
 from gnsstpu.parallel.mesh import (  # noqa: F401
+    make_distributed_mesh,
     make_mesh,
     shard_acquisition_inputs,
     shard_channel_state,

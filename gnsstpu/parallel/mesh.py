@@ -56,6 +56,29 @@ def make_mesh(axis_sizes: Sequence[Tuple[str, int]],
     return Mesh(np.asarray(devices).reshape(shape), names)
 
 
+def make_distributed_mesh(axis_sizes: Sequence[Tuple[str, int]],
+                          coordinator: Optional[str] = None,
+                          num_processes: Optional[int] = None,
+                          process_id: Optional[int] = None) -> Mesh:
+    """Multi-host mesh over DCN: initialize jax.distributed (one call
+    per host process, same coordinator address everywhere), then build
+    the global mesh over every process's devices. Collectives whose
+    mesh axis spans hosts ride DCN; axes within one host stay on ICI —
+    lay out the high-traffic axis (channel) innermost so it stays
+    host-local. On a single-host rig this degrades to make_mesh.
+
+    SURVEY §2.8 slot 5 (the reference has no multi-box story at all;
+    this is the TPU-native equivalent of scaling past one host).
+    Untestable beyond API shape on a single-host rig — exercised as a
+    passthrough there.
+    """
+    if coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes, process_id=process_id)
+    return make_mesh(axis_sizes)
+
+
 def shard_channel_state(state, codes, mesh: Mesh, axis: str = "channel"):
     """Place tracking state ([C]-leaved pytree) + code table [C, L+2] with
     the channel dim sharded over `axis`; C must divide by the axis size."""

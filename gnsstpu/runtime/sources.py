@@ -591,14 +591,26 @@ class FileStreamProducer:
 
     realtime_fs throttles production to the given sample rate (a live
     radio's pace) — 0 streams as fast as the file reads.
+
+    fs_in/fs_out arm decimate-on-ingest (the reference's
+    Resample_USRP_V1 role, objects/gps_source.cpp:436,566: the radio
+    delivers 8.1838/16 Msps, the receiver runs at 2.048 Msps): the
+    producer thread polyphase-resamples each block to the receiver
+    rate before pushing, so the FIFO and everything downstream see
+    fs_out samples.
     """
 
     def __init__(self, path: str, fifo, block_samples: int,
                  fmt: str = "i8_iq", realtime_fs: float = 0.0,
-                 skip_samples: int = 0):
+                 skip_samples: int = 0, fs_in: float = 0.0,
+                 fs_out: float = 0.0, resample_mode: str = "polyphase"):
         import threading
 
         self.src = FileSource(path, fmt=fmt, skip_samples=skip_samples)
+        if fs_in and fs_out and fs_in != fs_out:
+            from gnsstpu.ops.resample import ResampledSource
+            self.src = ResampledSource(self.src, fs_in, fs_out,
+                                       mode=resample_mode)
         self.fifo = fifo
         self.block = int(block_samples)
         self.realtime_fs = realtime_fs

@@ -295,3 +295,47 @@ def test_watchdog_restart_recovers_tracking():
     assert {e["prn"] for e in re_starts} == {5, 12}
     last = recs[-1]
     assert {int(p) for p in last.prn if p} == {5, 12}
+
+
+def test_live_resampling_producer_tracks(tmp_path):
+    """Decimate-on-ingest (reference Resample_USRP_V1 role,
+    gps_source.cpp:436,566): a 4.096 Msps i8 IQ file streams through
+    the producer's polyphase resampler to the receiver's 2.048 Msps;
+    the manager acquires and tracks the correct Doppler through the
+    live resampled stream."""
+    fs_in = 4.096e6
+    sig_in = SignalConfig(if_freq=0.0, fs=fs_in, complex_iq=True)
+    sats = [SatParams(prn=5, doppler_hz=900.0, code_phase_chips=200.5,
+                      cn0_dbhz=47.0),
+            SatParams(prn=12, doppler_hz=-1500.0,
+                      code_phase_chips=700.25, cn0_dbhz=46.0)]
+    sim = IFSimulator(sig_in, sats, noise_sigma=1.0, seed=3)
+    raw = np.asarray(sim.generate(1000))
+    i8 = np.clip(np.round(raw * 18.0), -127, 127).astype(np.int8)
+    path = tmp_path / "hi_rate.bin"
+    i8.reshape(-1).tofile(path)
+
+    blk = SIG.samples_per_code               # 2048 @ 2.048 Msps
+    fifo = native.RingFifo(depth=256, block_bytes=blk * 8)
+    FileStreamProducer(str(path), fifo, blk, fmt="i8_iq",
+                       fs_in=fs_in, fs_out=SIG.fs).start()
+    src = StreamSource(fifo, blk, timeout_s=20.0)
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=6e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(5, 12), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=3)
+    mgr = ChannelManager(
+        src, cfg, telemetry=Telemetry(sink=io.StringIO()),
+        epoch_ms=100, reacq_period_ms=400, cn0_drop_dbhz=35.0,
+        prn_pool=[5, 12], sync_every=2)
+    recs = mgr.run(900)
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+    i5 = list(last.prn).index(5)
+    i12 = list(last.prn).index(12)
+    assert abs(last.doppler_hz[i5] - 900.0) < 5.0
+    assert abs(last.doppler_hz[i12] + 1500.0) < 5.0
+    assert last.cn0_dbhz[i5] > 38.0

@@ -490,6 +490,100 @@ class SocketStreamProducer:
             self.sock.close()
 
 
+class TcpStreamProducer:
+    """TCP byte-stream receiver -> sample decode -> ring FIFO.
+
+    The connection-oriented sibling of SocketStreamProducer (reference
+    GPS_Source role over a network transport): listens on host:port
+    (port=0 = ephemeral, .port tells the sender where to aim), accepts
+    ONE sender, and streams its bytes — any FileSource wire format, or
+    raw=True for ops.unpack packed formats pushed untouched (device
+    unpack). Sample framing is byte-continuous; the stream ends when
+    the peer closes (FIFO closed -> consumers see end-of-stream).
+    """
+
+    def __init__(self, fifo, block_samples: int, fmt: str = "i8_iq",
+                 host: str = "127.0.0.1", port: int = 0,
+                 timeout_s: float = 10.0, raw: bool = False):
+        import socket
+        import threading
+
+        self.fifo = fifo
+        self.block = int(block_samples)
+        self.fmt = fmt
+        self.raw = raw
+        if raw:
+            from gnsstpu.ops import unpack as up
+            self._raw_bpb = up.wire_bytes(fmt, self.block)
+        else:
+            self._bps = _format_bytes_per_sample(fmt)
+        self.timeout_s = timeout_s
+        self._stop = False
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind((host, port))
+        self.sock.listen(1)
+        self.sock.settimeout(0.2)
+        self.port = self.sock.getsockname()[1]
+        self.overruns = 0
+        self.thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "TcpStreamProducer":
+        self.thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop = True
+
+    def _run(self) -> None:
+        import socket
+        import time as _time
+
+        conn = None
+        deadline = _time.monotonic() + self.timeout_s
+        try:
+            while not self._stop and conn is None:
+                try:
+                    conn, _ = self.sock.accept()
+                except socket.timeout:
+                    if _time.monotonic() > deadline:
+                        return
+            if conn is None:
+                return
+            conn.settimeout(0.2)
+            residue = b""
+            blk_bytes = (self._raw_bpb if self.raw
+                         else self.block * self._bps)
+            deadline = _time.monotonic() + self.timeout_s
+            while not self._stop:
+                try:
+                    data = conn.recv(65536)
+                except socket.timeout:
+                    if _time.monotonic() > deadline:
+                        break
+                    continue
+                if not data:          # peer closed = end of stream
+                    break
+                deadline = _time.monotonic() + self.timeout_s
+                residue += data
+                while len(residue) >= blk_bytes:
+                    if self.raw:
+                        blk = np.frombuffer(residue[:blk_bytes],
+                                            np.uint8)
+                    else:
+                        blk = decode_samples(
+                            residue[:blk_bytes], self.fmt).astype(
+                                np.float32).view(np.uint8).reshape(-1)
+                    residue = residue[blk_bytes:]
+                    if self.fifo.push(blk, timeout_ms=-1) != 1:
+                        self.overruns += 1
+        finally:
+            if conn is not None:
+                conn.close()
+            self.fifo.close()
+            self.sock.close()
+
+
 class PackedStreamSource(_PackedReadMixin):
     """Live streaming source that keeps samples in WIRE FORMAT end to
     end: the producer pushes raw packed bytes (1-4 bit formats,

@@ -339,3 +339,54 @@ def test_live_resampling_producer_tracks(tmp_path):
     assert abs(last.doppler_hz[i5] - 900.0) < 5.0
     assert abs(last.doppler_hz[i12] + 1500.0) < 5.0
     assert last.cn0_dbhz[i5] > 38.0
+
+
+def test_tcp_stream_to_manager():
+    """Connection-oriented network front end: raw 2-bit sm2 bytes over
+    TCP -> TcpStreamProducer(raw) -> ring FIFO -> PackedStreamSource ->
+    pipelined manager with device-side unpack; tracking acquires and
+    holds the right Doppler, and peer close ends the run cleanly."""
+    import socket
+
+    from gnsstpu.ops import unpack as up
+    from gnsstpu.runtime.sources import (PackedStreamSource,
+                                         TcpStreamProducer)
+
+    sats = [SatParams(prn=6, doppler_hz=-1100.0, code_phase_chips=512.5,
+                      cn0_dbhz=47.0)]
+    n_ms = 900
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=12)
+    samples = np.asarray(sim.generate(n_ms + 40))
+    wire = up.pack(samples, "sm2", scale=1.0)
+
+    blk = SIG.samples_per_code
+    blk_bytes = up.wire_bytes("sm2", blk)
+    fifo = native.RingFifo(depth=1024, block_bytes=blk_bytes)
+    prod = TcpStreamProducer(fifo, blk, fmt="sm2", raw=True,
+                             timeout_s=8.0).start()
+    src = PackedStreamSource(fifo, blk, fmt="sm2",
+                             history_blocks=1024, timeout_s=8.0)
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        tx.connect(("127.0.0.1", prod.port))
+        tx.sendall(wire.tobytes())
+        tx.close()                      # EOS
+
+    threading.Thread(target=send, daemon=True).start()
+
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=6e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(6,), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0), n_channels=2)
+    mgr = ChannelManager(
+        src, cfg, telemetry=Telemetry(sink=io.StringIO()),
+        epoch_ms=100, reacq_period_ms=400, cn0_drop_dbhz=35.0,
+        prn_pool=[6], sync_every=4)
+    recs = mgr.run(800)
+    assert mgr.wire == "sm2"
+    last = recs[-1]
+    assert 6 in {int(p) for p in last.prn if p}
+    i6 = list(last.prn).index(6)
+    assert abs(last.doppler_hz[i6] + 1100.0) < 5.0

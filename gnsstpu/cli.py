@@ -144,7 +144,9 @@ def cmd_track(args) -> int:
                          epoch_ms=args.epoch_ms, commands=bus,
                          engine=args.engine, navigator=navr,
                          sync_every=args.sync_every,
-                         prefetch=args.prefetch)
+                         prefetch=args.prefetch,
+                         readback=args.readback,
+                         history_window_ms=args.history_window_ms)
     if args.profile:
         # Opt-in JAX profiler trace (SURVEY §5 tracing: the reference's
         # Threaded_Object tic counters; here a real xplane trace).
@@ -331,6 +333,16 @@ def main(argv=None) -> int:
                    help="overlap chunk read/upload with device compute "
                         "and supervision (reader-thread pipeline; "
                         "requires --sync-every > 1)")
+    p.add_argument("--readback", default="f32",
+                   choices=["f32", "compact"],
+                   help="device->host readback wire (compact = f16 "
+                        "prompts + byte-packed single buffer, ~2x "
+                        "less downlink)")
+    p.add_argument("--history-window-ms", type=int, default=None,
+                   help="bound live per-PRN history + records to the "
+                        "trailing window (constant-memory multi-hour "
+                        "runs; choose >= the constellation's decode "
+                        "span, e.g. 36000)")
     p.add_argument("--stream", nargs="?", const="fast", default=None,
                    choices=["fast", "realtime"],
                    help="feed via producer thread + native ring FIFO "

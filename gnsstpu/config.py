@@ -162,6 +162,12 @@ class NavConfig:
     # alpha/beta page is available (nav.iono; the reference decodes but
     # never applies it, objects/ephemeris.cpp:314).
     use_iono: bool = False
+    # Hatch carrier-smoothing window [s] (0 = off): blend each epoch's
+    # code pseudorange with the carrier-phase-propagated prediction —
+    # enabled by the integrated-carrier-phase stream the reference
+    # latches but never exploits (correlator.cpp TakeMeasurements).
+    # Keep <= ~100 s single-frequency (code/phase iono divergence).
+    carrier_smoothing_s: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

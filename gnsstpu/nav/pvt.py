@@ -496,6 +496,15 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
     steer_total = 0.0
     utm_zone: Optional[int] = None
     prev_phase: Dict[int, tuple] = {}   # chan -> (t_ms, cycles)
+    # Hatch filter state: chan -> [smoothed ABSOLUTE travel-range m,
+    # phase cycles, t_ms, count]. Smoothing runs on the un-rebased
+    # travel (abs_sample/spc * c*T) because the per-epoch pseudorange
+    # rebase floor can jump by whole code periods between epochs —
+    # common-mode for the solve, poison for a recursive filter.
+    cs_state: Dict[int, list] = {}
+    cs_n = (max(1, int(round(nav.carrier_smoothing_s * 1e3
+                             / nav.sol_period_ms)))
+            if nav.carrier_smoothing_s > 0 else 0)
     for k in range(n_epochs):
         # Closed-form transmit time: advances with k REGARDLESS of
         # skipped/failed epochs (a single RAIM rejection must not leave
@@ -515,6 +524,33 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
         sat_p, sat_clk = satpos_fn(transmit_time,
                                    [ephs[prns[c]] for c in active])
         obs_vec = raw_p + sat_clk * SPEED_OF_LIGHT
+        if carr_cycles is not None and cs_n > 1:
+            # Hatch carrier smoothing: propagate last epoch's smoothed
+            # range by the carrier-phase delta (exact NCO mirror,
+            # tracking.carrier), blend in 1/N of the new code range.
+            cT = SPEED_OF_LIGHT * period_s
+            t_now = float(out.t_ms[k])
+            for j, c in enumerate(active):
+                ci = int(c)
+                # Travel only: abs_sample counts elapsed stream time +
+                # travel; subtract the transmit epoch index.
+                p_abs = (abs_sample[c, ms_meas[c]] / spc
+                         - ms_meas[c]) * cT
+                phi = carr_cycles[c, ms_meas[c]]
+                st = cs_state.get(ci)
+                if st is not None and t_now > st[2]:
+                    dt = (t_now - st[2]) * 1e-3
+                    lam_c = SPEED_OF_LIGHT / carrier_hz[ci]
+                    dpred = -lam_c * (phi - st[1]
+                                      - (sig.if_freq
+                                         + fdma_offset[ci]) * dt)
+                    cnt = min(st[3] + 1, cs_n)
+                    pbar = (p_abs / cnt
+                            + (cnt - 1) / cnt * (st[0] + dpred))
+                else:
+                    pbar, cnt = p_abs, 1
+                cs_state[ci] = [pbar, phi, t_now, cnt]
+                obs_vec[j] += pbar - p_abs
         sol = least_square_pos_raim(sat_p, obs_vec,
                                     use_tropo=nav.use_tropo,
                                     iterations=nav.lsq_iterations)

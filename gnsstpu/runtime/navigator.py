@@ -346,6 +346,11 @@ class OnlineNavigator:
         abs_sample = np.stack([lane(p, "abs_sample") for p in good])
         ephs = {p: self.decoded[p][2] for p in good}
         ekf_kw = {}
+        if (self.nav.carrier_smoothing_s > 0
+                and all("carr_cycles" in streams[p][0] for p in good)):
+            # Hatch smoothing needs the carrier stream in LSQ mode too.
+            ekf_kw["carr_cycles"] = np.stack(
+                [lane(p, "carr_cycles") for p in good])
         if self.mode == "ekf":
             from gnsstpu.signals.registry import get_signal
 

@@ -129,3 +129,60 @@ def test_iono_corrected_solve_beats_uncorrected():
     # sub-meter-ish (delays injected ARE the model's own).
     assert err_u > 1.0
     assert err_c < 1.0
+
+
+def test_hatch_carrier_smoothing_reduces_scatter():
+    """Carrier-smoothed pseudoranges (NavConfig.carrier_smoothing_s,
+    classic Hatch filter fed by the integrated-carrier-phase stream):
+    with noisy code observables and exact phase, the smoothed solve's
+    position scatter drops well below the raw solve's."""
+    rng = np.random.default_rng(7)
+    recv = np.array([3427947.0, 603774.0, 5326967.0])
+    tow0 = 266400.0
+    prns, ephs = _visible_constellation(recv, tow0)
+    n_ms = 6000
+    T = SIG.code_period_s
+    fs = SIG.fs
+    f_carr = 1575.42e6
+    from gnsstpu.sim.scenario import _fit_delay
+    from gnsstpu.nav.orbits import satpos as satpos_fn
+
+    abs_clean = np.zeros((len(prns), n_ms))
+    carr_cycles = np.zeros((len(prns), n_ms))
+    m_arr = np.arange(n_ms)
+    for i, p in enumerate(prns):
+        tau0, taud, taudd = _fit_delay(ephs[p], recv, tow0,
+                                       n_ms * T, satpos_fn)
+        t_tx = m_arr * T
+        # receive time r = t_tx + tau(r); one fixed-point pass on the
+        # smooth quadratic is plenty.
+        tau = tau0 + taud * (t_tx + tau0) + taudd * (t_tx + tau0) ** 2
+        tau = tau0 + taud * (t_tx + tau) + taudd * (t_tx + tau) ** 2
+        abs_clean[i] = (t_tx + tau) * fs
+        carr_cycles[i] = -f_carr * (tau - tau[0])
+    # Code noise: sigma ~ 4 m on the code observable, phase exact.
+    noise = rng.normal(0.0, 4.0 / (pvt.SPEED_OF_LIGHT / fs),
+                       size=abs_clean.shape)
+    abs_noisy = abs_clean + noise
+
+    def scatter(smooth_s):
+        nav_cfg = NavConfig(sol_period_ms=200, elevation_mask_deg=5.0,
+                            use_tropo=False,
+                            carrier_smoothing_s=smooth_s)
+        sol = pvt.navigate(
+            abs_sample=abs_noisy, prns=prns,
+            subframe_start_ms=[0] * len(prns), tow_s=tow0, ephs=ephs,
+            sig=SIG, nav=nav_cfg, n_ms=n_ms,
+            carr_cycles=carr_cycles)
+        v = sol.valid
+        assert v.sum() >= 20
+        xyz = np.stack([sol.x, sol.y, sol.z], 1)[v]
+        # Scatter about the solution mean over the settled tail (the
+        # filter converges over ~N epochs).
+        tail = xyz[len(xyz) // 2:]
+        return float(np.linalg.norm(tail - tail.mean(0), axis=1).mean())
+
+    raw = scatter(0.0)
+    smoothed = scatter(4.0)        # N = 20 epochs @ 200 ms
+    assert raw > 2.0, raw          # noise actually present
+    assert smoothed < 0.5 * raw, (smoothed, raw)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -140,6 +141,13 @@ def cmd_track(args) -> int:
         from gnsstpu.config import NavConfig
         from gnsstpu.runtime.navigator import OnlineNavigator
         navr = OnlineNavigator(sig, NavConfig(), mode=args.navigate)
+        if args.assist and os.path.exists(args.assist):
+            seed_pos = seed_t = None
+            if args.assist_seed:
+                vals = [float(v) for v in args.assist_seed.split(",")]
+                seed_pos, seed_t = vals[:3], vals[3]
+            navr.load_assist(args.assist, seed_pos=seed_pos,
+                             seed_t=seed_t)
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                          epoch_ms=args.epoch_ms, commands=bus,
                          engine=args.engine, navigator=navr,
@@ -164,6 +172,8 @@ def cmd_track(args) -> int:
                         state=jax.tree.map(np.asarray, mgr._state),
                         meta={"ms_done": args.ms,
                               "prns": [s.prn for s in mgr.slots]})
+    if navr is not None and args.assist and navr.almanac:
+        navr.save_assist(args.assist)
     if args.log:
         sink.close()
     live = [int(p) for p in (recs[-1].prn if recs else []) if p]
@@ -338,6 +348,14 @@ def main(argv=None) -> int:
                    help="device->host readback wire (compact = f16 "
                         "prompts + byte-packed single buffer, ~2x "
                         "less downlink)")
+    p.add_argument("--assist", default=None,
+                   help="assist-data JSON (almanac + iono/UTC): loaded "
+                        "at start if present, saved after the run "
+                        "(EEPROM warm-start role)")
+    p.add_argument("--assist-seed", default=None,
+                   help="X,Y,Z,T rough ECEF position [m] + GPS time "
+                        "[s] enabling pre-fix warm-start visibility "
+                        "with --assist")
     p.add_argument("--history-window-ms", type=int, default=None,
                    help="bound live per-PRN history + records to the "
                         "trailing window (constant-memory multi-hour "

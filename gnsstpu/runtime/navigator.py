@@ -151,6 +151,49 @@ class OnlineNavigator:
         self.iono_utc = None
         self._next_alm = 12000
         self.alm_retry_ms = 6000
+        # Assist seed (load_assist): rough receiver position + GPS time
+        # for pre-fix warm-start visibility (the reference's EEPROM
+        # warm start uses a stored position the same way).
+        self._seed: Optional[Tuple[np.ndarray, float]] = None
+
+    # -- assist-data persistence (gse gui_eeprom / gui_almanac role) --
+
+    def save_assist(self, path: str) -> None:
+        """Dump the decoded almanac + iono/UTC page as JSON (the
+        reference GUI's EEPROM/almanac dump, gse gui_eeprom.cxx /
+        gui_almanac.cpp, messages EEPROM_M_ID)."""
+        import dataclasses as _dc
+        import json as _json
+
+        data = {
+            "almanac": {int(p): _dc.asdict(a)
+                        for p, a in self.almanac.items()},
+            "iono_utc": (_dc.asdict(self.iono_utc)
+                         if self.iono_utc is not None else None),
+        }
+        with open(path, "w") as f:
+            _json.dump(data, f, indent=1)
+
+    def load_assist(self, path: str, seed_pos=None,
+                    seed_t: Optional[float] = None) -> None:
+        """Load saved assist data; with a rough position + GPS time
+        seed, warm-start visibility predictions run BEFORE the first
+        fix (cold-sky search avoided entirely)."""
+        import json as _json
+
+        from gnsstpu.nav.almanac import Almanac, IonoUtc
+
+        with open(path) as f:
+            data = _json.load(f)
+        self.almanac = {int(p): Almanac(**d)
+                        for p, d in data.get("almanac", {}).items()}
+        iu = data.get("iono_utc")
+        if iu is not None:
+            self.iono_utc = IonoUtc(**iu)
+        if seed_pos is not None and seed_t is not None:
+            self._seed = (np.asarray(seed_pos, np.float64),
+                          float(seed_t))
+            self._next_alm = 0      # predict on the first poll
 
     # -- called by the manager at epoch boundaries --
 
@@ -206,15 +249,21 @@ class OnlineNavigator:
         # Warm-start visibility: almanac + last fix -> predicted-visible
         # set; the manager masks almanac-known-but-not-visible PRNs out
         # of its searches.
-        if self.almanac and self.solutions and self.decoded:
-            from gnsstpu.nav import visibility
-
+        rx = t = None
+        if self.solutions and self.decoded:
             last = self.solutions[-1]
             rx = np.array([last["x"], last["y"], last["z"]])
             # Satellite time now ~ latest anchor TOW + elapsed stream
             # time; visibility tolerates tens of seconds of slack.
             t = (max(self.decoded[p][1] for p in self.decoded)
                  + epoch_ms * 1e-3)
+        elif self._seed is not None:
+            # Pre-fix warm start from loaded assist data (EEPROM role).
+            rx = self._seed[0]
+            t = self._seed[1] + epoch_ms * 1e-3
+        if self.almanac and rx is not None:
+            from gnsstpu.nav import visibility
+
             ephs = {p: a.to_ephemeris() for p, a in self.almanac.items()}
             preds = visibility.predict(
                 ephs, t, rx, carrier_hz=mgr.sd.carrier_freq(1),

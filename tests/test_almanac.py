@@ -215,3 +215,65 @@ def test_live_almanac_decode_and_warm_start(tmp_path):
     assert (lo + 1) not in got and 31 in got
     for h in hi:
         assert (h + 1) in got
+
+
+def test_assist_save_load_prefix_warm_start(tmp_path):
+    """EEPROM role (gse gui_eeprom.cxx / gui_almanac.cpp dump/load):
+    decoded almanac + iono/UTC persist to disk; a fresh navigator loads
+    them with a rough position/time seed and produces warm-start
+    visibility BEFORE any fix or decode — cold-sky search avoided
+    across sessions."""
+    from gnsstpu.config import NavConfig, SignalConfig
+    from gnsstpu.nav import visibility
+    from gnsstpu.nav.orbits import satpos
+    from gnsstpu.runtime.navigator import OnlineNavigator
+    from gnsstpu.signals.registry import get_signal
+
+    sig = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+    nav_a = OnlineNavigator(sig, NavConfig())
+    alms = {p: make_almanac(p) for p in (3, 7, 11, 19)}
+    nav_a.almanac = dict(alms)
+    nav_a.iono_utc = make_ionoutc()
+    path = tmp_path / "assist.json"
+    nav_a.save_assist(str(path))
+
+    # Seed receiver directly under SV 3 at its t_oa.
+    eph3 = alms[3].to_ephemeris()
+    t = alms[3].t_oa
+    pos, _ = satpos(np.array([t]), [eph3])
+    rx = pos[0] / np.linalg.norm(pos[0]) * 6371e3
+
+    nav_b = OnlineNavigator(sig, NavConfig())
+    nav_b.load_assist(str(path), seed_pos=rx, seed_t=t)
+    assert sorted(nav_b.almanac) == sorted(alms)
+    assert nav_b.iono_utc is not None
+    assert nav_b.iono_utc.alpha0 == nav_a.iono_utc.alpha0
+    for p in alms:
+        for f in ("sqrtA", "e", "M_0", "omega_0", "delta_i"):
+            assert getattr(nav_b.almanac[p], f) == getattr(alms[p], f)
+
+    class _Tlm:
+        def __init__(self):
+            self.events = []
+
+        def event(self, epoch_ms, what, **kw):
+            self.events.append((what, kw))
+
+    class _Mgr:
+        slots = ()
+        sd = get_signal("gps_l1ca")
+        tlm = _Tlm()
+        warm_visible = None
+        warm_known: set = set()
+        history: dict = {}
+
+    mgr = _Mgr()
+    nav_b._try_almanac(mgr, epoch_ms=0)
+    # Pre-fix warm start ran: visibility published, sky view emitted.
+    expect = {q.prn for q in visibility.predict(
+        {p: a.to_ephemeris() for p, a in alms.items()}, t, rx,
+        carrier_hz=1575.42e6, mask_deg=nav_b.nav.elevation_mask_deg)
+        if q.visible}
+    assert mgr.warm_visible == expect and 3 in mgr.warm_visible
+    assert mgr.warm_known == set(alms)
+    assert any(w == "sv_visibility" for w, _ in mgr.tlm.events)

@@ -140,7 +140,10 @@ def cmd_track(args) -> int:
     if args.navigate:
         from gnsstpu.config import NavConfig
         from gnsstpu.runtime.navigator import OnlineNavigator
-        navr = OnlineNavigator(sig, NavConfig(), mode=args.navigate)
+        navcfg = NavConfig(use_iono=args.use_iono,
+                           carrier_smoothing_s=args.carrier_smoothing)
+        navr = OnlineNavigator(sig, navcfg, mode=args.navigate,
+                               phase_rate=args.phase_rate)
         if args.assist and os.path.exists(args.assist):
             seed_pos = seed_t = None
             if args.assist_seed:
@@ -348,6 +351,16 @@ def main(argv=None) -> int:
                    help="device->host readback wire (compact = f16 "
                         "prompts + byte-packed single buffer, ~2x "
                         "less downlink)")
+    p.add_argument("--use-iono", action="store_true",
+                   help="apply the broadcast Klobuchar correction once "
+                        "the iono page is decoded (reference decodes "
+                        "but never applies it)")
+    p.add_argument("--carrier-smoothing", type=float, default=0.0,
+                   metavar="S",
+                   help="Hatch carrier-smoothing window [s] (0 = off)")
+    p.add_argument("--phase-rate", action="store_true",
+                   help="EKF range-rate from integrated carrier-phase "
+                        "deltas instead of windowed Doppler")
     p.add_argument("--assist", default=None,
                    help="assist-data JSON (almanac + iono/UTC): loaded "
                         "at start if present, saved after the run "

@@ -429,7 +429,8 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
              satpos_fn=None, satvel_fn=None,
              collect_meas: bool = False,
              carr_cycles: Optional[np.ndarray] = None,
-             iono=None) -> NavSolutions:
+             iono=None,
+             smooth_state: Optional[dict] = None) -> NavSolutions:
     """Epoch loop: pseudoranges -> satpos -> LSQ (postNavigation.sci:154+).
 
     abs_sample: [C, n_ms] from TrackResults (channels in `prns` order).
@@ -495,13 +496,22 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
                            - sd.carrier_freq(sd.fdma_zero_prn))
     steer_total = 0.0
     utm_zone: Optional[int] = None
-    prev_phase: Dict[int, tuple] = {}   # chan -> (t_ms, cycles)
-    # Hatch filter state: chan -> [smoothed ABSOLUTE travel-range m,
-    # phase cycles, t_ms, count]. Smoothing runs on the un-rebased
-    # travel (abs_sample/spc * c*T) because the per-epoch pseudorange
-    # rebase floor can jump by whole code periods between epochs —
-    # common-mode for the solve, poison for a recursive filter.
-    cs_state: Dict[int, list] = {}
+    # Carrier-derived filter state, keyed by PRN (channel order varies
+    # between calls). A live caller (OnlineNavigator) passes a
+    # persistent smooth_state dict so the filters survive its rolling
+    # solve window; state advances only for latches NEWER than the
+    # stored one (re-walked overlap epochs are deduped downstream).
+    #   phase: prn -> (t_ms, cycles, abs_sample)
+    #   hatch: prn -> [smoothed ABSOLUTE travel-range m, cycles, t_ms,
+    #                  count, abs_sample]. Smoothing runs on the
+    #     un-rebased travel (abs_sample/spc - epoch) * c*T because the
+    #     per-epoch pseudorange rebase floor can jump by whole code
+    #     periods between epochs — common-mode for the solve, poison
+    #     for a recursive filter.
+    if smooth_state is None:
+        smooth_state = {}
+    prev_phase: Dict[int, tuple] = smooth_state.setdefault("phase", {})
+    cs_state: Dict[int, list] = smooth_state.setdefault("hatch", {})
     cs_n = (max(1, int(round(nav.carrier_smoothing_s * 1e3
                              / nav.sol_period_ms)))
             if nav.carrier_smoothing_s > 0 else 0)
@@ -532,24 +542,36 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
             t_now = float(out.t_ms[k])
             for j, c in enumerate(active):
                 ci = int(c)
+                prn_c = int(prns[ci])
                 # Travel only: abs_sample counts elapsed stream time +
                 # travel; subtract the transmit epoch index.
-                p_abs = (abs_sample[c, ms_meas[c]] / spc
-                         - ms_meas[c]) * cT
-                phi = carr_cycles[c, ms_meas[c]]
-                st = cs_state.get(ci)
-                if st is not None and t_now > st[2]:
-                    dt = (t_now - st[2]) * 1e-3
+                a_now = float(abs_sample[c, ms_meas[c]])
+                p_abs = (a_now / spc - ms_meas[c]) * cT
+                phi = float(carr_cycles[c, ms_meas[c]])
+                st = cs_state.get(prn_c)
+                if st is not None and a_now <= st[4]:
+                    continue   # re-walked overlap epoch: leave raw
+                if st is not None:
+                    # The NCO integrated over the ACTUAL receive-time
+                    # span between latches (nominal epoch spacing is
+                    # off by the code-Doppler factor — biased at
+                    # nonzero IF).
+                    dt = (a_now - st[4]) / sig.fs
                     lam_c = SPEED_OF_LIGHT / carrier_hz[ci]
                     dpred = -lam_c * (phi - st[1]
                                       - (sig.if_freq
                                          + fdma_offset[ci]) * dt)
-                    cnt = min(st[3] + 1, cs_n)
-                    pbar = (p_abs / cnt
-                            + (cnt - 1) / cnt * (st[0] + dpred))
-                else:
+                    if abs((st[0] + dpred) - p_abs) > 300.0:
+                        # Carrier stream restarted (re-acquisition) or
+                        # slipped: reseed rather than poison the blend.
+                        st = None
+                    else:
+                        cnt = min(st[3] + 1, cs_n)
+                        pbar = (p_abs / cnt
+                                + (cnt - 1) / cnt * (st[0] + dpred))
+                if st is None:
                     pbar, cnt = p_abs, 1
-                cs_state[ci] = [pbar, phi, t_now, cnt]
+                cs_state[prn_c] = [pbar, phi, t_now, cnt, a_now]
                 obs_vec[j] += pbar - p_abs
         sol = least_square_pos_raim(sat_p, obs_vec,
                                     use_tropo=nav.use_tropo,
@@ -566,6 +588,10 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
             lat_i, lon_i, _ = geodesy.cart2geo(*sol.pos[:3], 5)
             d = iono_mod.klobuchar_delay(iono, lat_i, lon_i, sol.az,
                                          sol.el, transmit_time)
+            if sol.used is not None:
+                # RAIM-excluded satellites have zero-filled el/az —
+                # no correction for them (they are re-screened anyway).
+                d = np.where(sol.used, d, 0.0)
             sol2 = least_square_pos_raim(
                 sat_p, obs_vec - d * SPEED_OF_LIGHT,
                 use_tropo=nav.use_tropo,
@@ -608,16 +634,22 @@ def navigate(abs_sample: np.ndarray, prns: Sequence[int],
                 lam_u = SPEED_OF_LIGHT / carrier_hz[use_idx]
                 prr_ph = np.full(len(use_idx), np.nan)
                 for j, c in enumerate(use_idx):
-                    pv = prev_phase.get(int(c))
-                    if pv is not None and out.t_ms[k] > pv[0]:
-                        dtp = (out.t_ms[k] - pv[0]) * 1e-3
+                    prn_c = int(prns[int(c)])
+                    a_now = float(abs_sample[c, ms_meas[c]])
+                    pv = prev_phase.get(prn_c)
+                    if pv is not None and a_now <= pv[2]:
+                        continue   # re-walked overlap epoch
+                    if pv is not None:
+                        # Actual receive-time latch interval (nominal
+                        # dt is off by code Doppler; biased at IF!=0).
+                        dtp = (a_now - pv[2]) / sig.fs
                         # The NCO integrates IF + FDMA offset + Doppler;
                         # only the Doppler part is range rate.
                         f_phase = ((phi[j] - pv[1]) / dtp
                                    - sig.if_freq - fdma_offset[c])
                         prr_ph[j] = -lam_u[j] * f_phase
-                    prev_phase[int(c)] = (float(out.t_ms[k]),
-                                          float(phi[j]))
+                    prev_phase[prn_c] = (float(out.t_ms[k]),
+                                         float(phi[j]), a_now)
                 meas_rec["carr_phase"] = phi
                 meas_rec["prr_phase"] = prr_ph
             out.meas.append(meas_rec)

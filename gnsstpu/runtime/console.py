@@ -86,6 +86,7 @@ class StatusBoard:
     def __init__(self, n_events: int = 6):
         self.channels: Dict[int, dict] = {}
         self.pvt: Optional[dict] = None
+        self.pvt_origin: Optional[dict] = None   # FIRST fix (fixed ENU ref)
         self.pvt_history: List[dict] = []
         self.events: List[dict] = []
         self.stages: Dict[str, dict] = {}     # stage -> {last, max, n, sum}
@@ -105,6 +106,8 @@ class StatusBoard:
             self.channels[rec["chan"]] = rec
         elif t == "pvt":
             self.pvt = rec
+            if self.pvt_origin is None:
+                self.pvt_origin = rec
             self.pvt_history.append(rec)
             del self.pvt_history[:-64]
         elif t == "ekf":
@@ -198,12 +201,13 @@ class StatusBoard:
         return "\n\n".join(self.render(p) for p in self.PAGES)
 
     def pvt_enu(self) -> List[tuple]:
-        """Per-fix (dE, dN, dU) meters relative to the first fix (the
-        gse gui_pvt scatter's data)."""
+        """Per-fix (dE, dN, dU) meters relative to the FIRST fix of the
+        run (fixed origin even after history trims; the gse gui_pvt
+        scatter's data)."""
         import math
         if not self.pvt_history:
             return []
-        p0 = self.pvt_history[0]
+        p0 = self.pvt_origin or self.pvt_history[0]
         scale = 111319.5
         clat = math.cos(math.radians(p0["lat_deg"]))
         return [((p["lon_deg"] - p0["lon_deg"]) * scale * clat,

@@ -651,10 +651,17 @@ class ChannelManager:
                  stats["code_lock"],
                  stats["locked"].astype(jnp.float32)], axis=-1)  # [C, 4]
             if compact:
+                # Prompts scaled by 1/spc so f16 cannot overflow even
+                # for raw i16-amplitude inputs (sum of spc samples of
+                # |x|<=32767 -> <=32767 after scaling < 65504); rem
+                # stays f32 — it feeds abs_sample and therefore every
+                # pseudorange.
                 pp = [obs.ip, obs.qp] + ([obs.ip2, obs.qp2]
                                          if dual else [])
-                return (jnp.stack(pp, axis=-1).astype(jnp.float16),
-                        obs.rem.astype(jnp.float16),
+                scale = np.float32(1.0 / spc_nom)
+                return (jnp.stack([p * scale for p in pp],
+                                  axis=-1).astype(jnp.float16),
+                        obs.rem.astype(jnp.float32),
                         (obs.blksize - spc_nom).astype(jnp.int16),
                         obs.dopp, st)
             lanes = [obs.ip, obs.qp, obs.rem,
@@ -684,15 +691,15 @@ class ChannelManager:
             # Byte-packed superepoch buffer (prefetch super_step).
             P = 4 if dual else 2
             E, C = self._bpe, self.cfg.n_channels
-            per_k = E * C * (2 * P + 2 + 2 + 4) + C * 16
+            per_k = E * C * (2 * P + 4 + 2 + 4) + C * 16
             K = raw.size // per_k
-            n = [K * E * C * P * 2, K * E * C * 2, K * E * C * 2,
+            n = [K * E * C * P * 2, K * E * C * 4, K * E * C * 2,
                  K * E * C * 4, K * C * 16]
             o = np.cumsum([0] + n)
             pp = np.frombuffer(raw[o[0]:o[1]],
                                np.float16).reshape(K, E, C, P)
             rem = np.frombuffer(raw[o[1]:o[2]],
-                                np.float16).reshape(K, E, C)
+                                np.float32).reshape(K, E, C)
             blkd = np.frombuffer(raw[o[2]:o[3]],
                                  np.int16).reshape(K, E, C)
             dopp = np.frombuffer(raw[o[3]:o[4]],
@@ -703,16 +710,19 @@ class ChannelManager:
             pp, rem, blkd, dopp, st = raw
         K, E, C = dopp.shape
         L = 7 if dual else 5
+        spc = np.float32(self.sig.samples_per_code)
         streams = np.empty((K, E, C, L), np.float32)
-        streams[..., self._S_IP] = pp[..., 0]
-        streams[..., self._S_QP] = pp[..., 1]
+        streams[..., self._S_IP] = pp[..., 0].astype(np.float32) * spc
+        streams[..., self._S_QP] = pp[..., 1].astype(np.float32) * spc
         streams[..., self._S_REM] = rem
         streams[..., self._S_BLK] = (blkd.astype(np.float32)
                                      + self.sig.samples_per_code)
         streams[..., self._S_DOPP] = dopp
         if dual:
-            streams[..., self._S_IP2] = pp[..., 2]
-            streams[..., self._S_QP2] = pp[..., 3]
+            streams[..., self._S_IP2] = (pp[..., 2].astype(np.float32)
+                                         * spc)
+            streams[..., self._S_QP2] = (pp[..., 3].astype(np.float32)
+                                         * spc)
         return streams, st
 
     # --- main loop ---
@@ -1147,13 +1157,19 @@ class ChannelManager:
                     delta = 0
                     mask = np.ones(C, bool)
                     newsp = entry_rel
+                    # Host bookkeeping must carry the SAME rounded
+                    # positions the device correlates at, or every
+                    # pseudorange inherits the rounding residue.
+                    self._abs_pos = base + entry_rel.astype(np.float64)
                 else:
                     delta = self._det_base - base
                     mask = np.zeros(C, bool)
                     newsp = np.zeros(C, np.int64)
                     for i in self._pending_allocs:
+                        sp_i = round(self._abs_pos[i] - base)
                         mask[i] = True
-                        newsp[i] = round(self._abs_pos[i] - base)
+                        newsp[i] = sp_i
+                        self._abs_pos[i] = base + sp_i
                     self._pending_allocs = []
                 cur = self._dispatch_superepoch(chunk, k, e, delta,
                                                 mask, newsp)

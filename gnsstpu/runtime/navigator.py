@@ -124,7 +124,10 @@ class OnlineNavigator:
         # phase_rate: the EKF's range-rate observation comes from
         # consecutive integrated-carrier-phase latches (delta-phase /
         # dt) instead of the windowed instantaneous Doppler — lower
-        # noise once channels are phase-locked.
+        # noise once channels are phase-locked, but centered half a
+        # solution period back (range-acceleration x lag bias vs the
+        # ~50 ms-centered Doppler window); keep sol_period_ms short
+        # when enabling it for dynamic platforms.
         self.phase_rate = phase_rate
         self._decode, self._fns, self._min_idx = _family(sig.signal)
         self._period_ms = max(1, int(round(sig.code_period_s * 1e3)))
@@ -135,6 +138,10 @@ class OnlineNavigator:
         self._hist_start: Dict[int, int] = {}
         self._next_nav = 0
         self._emitted_t = set()
+        # Carrier-derived filter state (Hatch smoothing + phase-rate),
+        # persistent across polls so the rolling solve window doesn't
+        # reset the filters (pvt.navigate(smooth_state=)).
+        self._smooth_state: dict = {}
         self.solutions = []
         # EKF mode: seed from the first valid LSQ fix, then fuse each
         # epoch's pseudoranges + Doppler rates; stream filtered PVT as
@@ -296,6 +303,11 @@ class OnlineNavigator:
             if self._hist_start.get(prn, start) != start:
                 self.decoded.pop(prn, None)
                 self._next_try.pop(prn, None)
+                # Carrier stream restarted with the channel: the
+                # accumulated cycle count reset, so phase-derived
+                # filter state is stale.
+                for d in self._smooth_state.values():
+                    d.pop(prn, None)
             self._hist_start[prn] = start
             if prn in self.decoded:
                 continue
@@ -400,6 +412,7 @@ class OnlineNavigator:
             # Hatch smoothing needs the carrier stream in LSQ mode too.
             ekf_kw["carr_cycles"] = np.stack(
                 [lane(p, "carr_cycles") for p in good])
+            ekf_kw["smooth_state"] = self._smooth_state
         if self.mode == "ekf":
             from gnsstpu.signals.registry import get_signal
 
@@ -415,6 +428,7 @@ class OnlineNavigator:
             if all("carr_cycles" in streams[p][0] for p in good):
                 ekf_kw["carr_cycles"] = np.stack(
                     [lane(p, "carr_cycles") for p in good])
+                ekf_kw["smooth_state"] = self._smooth_state
         if self.nav.use_iono and self.iono_utc is not None:
             ekf_kw["iono"] = self.iono_utc
         sol = pvt.navigate(

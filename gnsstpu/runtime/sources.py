@@ -118,7 +118,8 @@ class DevicePackedArraySource(_PackedReadMixin):
     """
 
     def __init__(self, samples_iq: np.ndarray, fmt: str = "sm2",
-                 scale: float = 1.0):
+                 scale: float = 1.0,
+                 tail_pad_samples: int = 1 << 24):
         import jax
 
         from gnsstpu.ops import unpack as up
@@ -128,13 +129,18 @@ class DevicePackedArraySource(_PackedReadMixin):
         n = len(samples_iq)
         n -= n % up.align(fmt)
         self.packed = up.pack(np.asarray(samples_iq)[:n], fmt, scale)
-        self.packed_dev = jax.device_put(self.packed)
-        self._n = n
         self._spb = up.samples_per_byte(fmt)
+        # Zero-byte tail pad: reads past end-of-data return zero BYTES
+        # (the same convention as PackedArraySource.read_packed — a
+        # clamped dynamic_slice would return shifted stale samples).
+        self._pad_b = int(tail_pad_samples / self._spb)
+        self.packed_dev = jax.device_put(np.concatenate(
+            [self.packed, np.zeros(self._pad_b, np.uint8)]))
+        self._n = n
 
     def read_packed(self, start: int, count: int):
         """Device uint8 slice covering samples [start, start+count);
-        out-of-range regions clamp (callers bound reads by len())."""
+        up to tail_pad_samples past the end serve zero bytes."""
         import jax
 
         from gnsstpu.ops import unpack as up
@@ -144,9 +150,16 @@ class DevicePackedArraySource(_PackedReadMixin):
             raise ValueError(f"unaligned packed read ({start}, {count})")
         b0 = max(int(start / self._spb), 0)
         nb = int(count / self._spb)
+        if b0 + nb > len(self.packed) + self._pad_b:
+            raise ValueError(
+                f"read past the device buffer's tail pad "
+                f"({start}+{count} vs {self._n}+pad)")
         return jax.lax.dynamic_slice_in_dim(self.packed_dev, b0, nb)
 
     def read(self, start: int, count: int) -> np.ndarray:
+        # Deliberately NOT the _PackedReadMixin path: that would route
+        # through read_packed (a DEVICE array -> transfer back); host
+        # consumers decode the retained host copy instead.
         from gnsstpu.ops import unpack as up
 
         a = up.align(self._fmt)

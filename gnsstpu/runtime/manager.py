@@ -653,15 +653,19 @@ class ChannelManager:
             if compact:
                 # Prompts scaled by 1/spc so f16 cannot overflow even
                 # for raw i16-amplitude inputs (sum of spc samples of
-                # |x|<=32767 -> <=32767 after scaling < 65504); rem
-                # stays f32 — it feeds abs_sample and therefore every
-                # pseudorange.
+                # |x|<=32767 -> <=32767 after scaling < 65504). rem
+                # feeds abs_sample (pseudoranges), so it ships as u16
+                # fixed point over [0,1) chips — ~1.5e-5 chip (~4 mm)
+                # quantization, far below DLL noise, half of f32.
                 pp = [obs.ip, obs.qp] + ([obs.ip2, obs.qp2]
                                          if dual else [])
                 scale = np.float32(1.0 / spc_nom)
+                rem_u16 = jnp.clip(
+                    jnp.round(obs.rem * np.float32(65535.0)),
+                    0, 65535).astype(jnp.uint16)
                 return (jnp.stack([p * scale for p in pp],
                                   axis=-1).astype(jnp.float16),
-                        obs.rem.astype(jnp.float32),
+                        rem_u16,
                         (obs.blksize - spc_nom).astype(jnp.int16),
                         obs.dopp, st)
             lanes = [obs.ip, obs.qp, obs.rem,
@@ -691,15 +695,16 @@ class ChannelManager:
             # Byte-packed superepoch buffer (prefetch super_step).
             P = 4 if dual else 2
             E, C = self._bpe, self.cfg.n_channels
-            per_k = E * C * (2 * P + 4 + 2 + 4) + C * 16
+            per_k = E * C * (2 * P + 2 + 2 + 4) + C * 16
             K = raw.size // per_k
-            n = [K * E * C * P * 2, K * E * C * 4, K * E * C * 2,
+            n = [K * E * C * P * 2, K * E * C * 2, K * E * C * 2,
                  K * E * C * 4, K * C * 16]
             o = np.cumsum([0] + n)
             pp = np.frombuffer(raw[o[0]:o[1]],
                                np.float16).reshape(K, E, C, P)
-            rem = np.frombuffer(raw[o[1]:o[2]],
-                                np.float32).reshape(K, E, C)
+            rem = (np.frombuffer(raw[o[1]:o[2]],
+                                 np.uint16).reshape(K, E, C)
+                   .astype(np.float32) / np.float32(65535.0))
             blkd = np.frombuffer(raw[o[2]:o[3]],
                                  np.int16).reshape(K, E, C)
             dopp = np.frombuffer(raw[o[3]:o[4]],
@@ -708,6 +713,7 @@ class ChannelManager:
                                np.float32).reshape(K, C, 4)
         else:
             pp, rem, blkd, dopp, st = raw
+            rem = rem.astype(np.float32) / np.float32(65535.0)
         K, E, C = dopp.shape
         L = 7 if dual else 5
         spc = np.float32(self.sig.samples_per_code)

@@ -20,7 +20,7 @@ from gnsstpu.sim import IFSimulator, SatParams
 SIG = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
 
 
-def make_mgr(commands=None, sink=None, n_ms=1200):
+def make_mgr(commands=None, sink=None, n_ms=1200, **kw):
     sats = [SatParams(prn=5, doppler_hz=900.0, code_phase_chips=200.0,
                       cn0_dbhz=48.0),
             SatParams(prn=11, doppler_hz=-1500.0, code_phase_chips=700.0,
@@ -31,7 +31,7 @@ def make_mgr(commands=None, sink=None, n_ms=1200):
     return ChannelManager(SimSource(sim, n_ms), cfg,
                           telemetry=Telemetry(sink=sink),
                           epoch_ms=100, prn_pool=[5, 11],
-                          commands=commands)
+                          commands=commands, **kw)
 
 
 def test_command_bus_polls_incrementally(tmp_path):
@@ -213,3 +213,32 @@ def test_alm_page_sky_view():
     pg = b.render("alm")
     assert "123.4" in pg and "55.2" in pg and "+2100.5" in pg
     assert "*" in pg and "-" in pg
+
+
+def test_prefetch_mode_executes_commands():
+    """Commando in the prefetch pipeline: mask lands (applied before
+    the next dispatch; supervision lag means the drop shows one
+    superepoch later than serial) and stop ends the run early."""
+    feed = io.StringIO()
+
+    class ScriptedBus:
+        def __init__(self):
+            self.step = 0
+
+        def poll(self):
+            self.step += 1
+            if self.step == 2:       # after the first superepoch
+                return [{"cmd": "mask", "prn": 11}]
+            if self.step == 4:
+                return [{"cmd": "stop"}]
+            return []
+
+    mgr = make_mgr(commands=ScriptedBus(), sink=feed, n_ms=2600,
+                   sync_every=4, prefetch=True)
+    recs = mgr.run(2400)
+    assert 11 not in {s.prn for s in mgr.slots
+                      if s.state is SlotState.TRACKING}
+    assert 11 not in mgr.pool
+    assert len(recs) < 24            # stop ended the run early
+    log = feed.getvalue()
+    assert "masked" in log and "commanded_stop" in log

@@ -307,3 +307,22 @@ def test_fdma_chunk_reacquisition():
     assert live == {5, 12}
     i12 = list(last.prn).index(12)
     assert abs(last.doppler_hz[i12] + 1700.0) < 8.0
+
+
+def test_device_resident_source_tracks():
+    """DevicePackedArraySource (packed signal resident in device
+    memory, zero per-chunk upload): the prefetch manager acquires,
+    confirms and tracks from it — including the end-of-data stop."""
+    from gnsstpu.runtime.sources import DevicePackedArraySource
+
+    sim = IFSimulator(SIG, SATS, noise_sigma=1.0, seed=3)
+    samples = np.asarray(sim.generate(850))
+    src = DevicePackedArraySource(samples, fmt="sm2", scale=1.0)
+    mgr, recs = _run(src, sync_every=4, prefetch=True)
+    assert mgr.wire == "sm2"
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+    i5 = list(last.prn).index(5)
+    assert abs(last.doppler_hz[i5] - 900.0) < 5.0
+    assert last.cn0_dbhz[i5] > 40.0

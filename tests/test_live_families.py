@@ -174,9 +174,12 @@ def test_manager_online_navigation_galileo():
     navr = OnlineNavigator(
         GSIG, NavConfig(sol_period_ms=500, elevation_mask_deg=10.0,
                         use_tropo=False), retry_ms=800)
+    # prefetch=True: the BOC engine's 4 ms-block superepoch program
+    # runs through the pipelined dispatch path (engine-generic check).
     mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
                          epoch_ms=400, reacq_period_ms=10 ** 9,
-                         confirm_epochs=3, navigator=navr, sync_every=2)
+                         confirm_epochs=3, navigator=navr, sync_every=2,
+                         prefetch=True)
     mgr.run(n_per * 4 - 1600)
 
     assert sorted(navr.decoded) == sorted(qephs)

@@ -528,8 +528,14 @@ class ChannelManager:
                 combine=combine)
             if fdma:
                 cube = cube.reshape(K, D, spc)
-            return fft_acquire.peak_metrics(
+            m = fft_acquire.peak_metrics(
                 cube, samples_per_code=spc, samples_per_chip=spchip)
+            # ONE [3, P] f32 buffer (per-leaf fetches cost ~RTT each on
+            # a tunneled link); code_phase < spc and bin counts are
+            # exact in f32.
+            return jnp.stack([m["metric"],
+                              m["code_phase"].astype(jnp.float32),
+                              m["doppler_bin"].astype(jnp.float32)])
 
         self._acq_doppler = dopp
         return search
@@ -582,9 +588,10 @@ class ChannelManager:
         if head is None:
             head = self._cursor
         acq = self.cfg.acq
-        metric = np.asarray(metrics["metric"])
-        code_phase = np.asarray(metrics["code_phase"])
-        best_bin = np.asarray(metrics["doppler_bin"])
+        metrics = np.asarray(metrics)
+        metric = metrics[0]
+        code_phase = metrics[1].astype(np.int64)
+        best_bin = metrics[2].astype(np.int64)
         allowed = np.zeros(self.sd.num_prn, bool)
         allowed[[p - 1 for p in want]] = True
         detected = (metric > acq.threshold) & allowed

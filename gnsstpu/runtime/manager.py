@@ -20,14 +20,24 @@ recompiles); the manager runs on the host at epoch boundaries (default
 Pipelined superepochs (sync_every > 1): where the reference hides its
 host/device latency with 10 threads and a 4000-deep FIFO
 (objects/fifo.cpp), this manager hides it by BATCHING — one superepoch =
-one wire-format sample upload + sync_every chained async tracker
-dispatches (+ an acquisition search on the same device chunk when due) +
+one wire-format sample upload + ONE fused device dispatch (a lax.scan
+over sync_every epochs incl. device summaries and the sample_pos
+retarget) + an acquisition search on the same device chunk when due +
 ONE bulk readback. The device never waits on the host inside a
 superepoch; supervision decisions run on results that are up to
 sync_every epochs stale (the reference's channels likewise act on
 delayed measurements, objects/correlator.cpp:263 3-deep buffer). Lock
 statistics are computed on device (tracking.lock.assess_device) so the
 steady-state readback is the prompt streams + bookkeeping only.
+
+Prefetch pipeline (prefetch=True): on top of the batching, the device
+runs FREE — the carried state needs no host rebase between
+superepochs, so superepoch n dispatches while a reader thread reads +
+uploads chunk n+1 and the host supervises superepoch n-1 (one more
+superepoch of decision lag, budgeted in the window margin; bit-exact
+vs the serial loop absent slot churn). readback='compact' ships the
+per-block observables as one byte-packed buffer at ~2x fewer bytes;
+history_window_ms bounds live-session memory.
 """
 
 from __future__ import annotations

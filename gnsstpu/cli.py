@@ -158,6 +158,8 @@ def cmd_track(args) -> int:
                          prefetch=args.prefetch,
                          readback=args.readback,
                          history_window_ms=args.history_window_ms)
+    if args.resume:
+        mgr.restore_checkpoint(args.resume)
     if args.profile:
         # Opt-in JAX profiler trace (SURVEY §5 tracing: the reference's
         # Threaded_Object tic counters; here a real xplane trace).
@@ -167,14 +169,7 @@ def cmd_track(args) -> int:
     else:
         recs = mgr.run(args.ms)
     if args.checkpoint:
-        import jax
-
-        from gnsstpu.runtime import checkpoint
-
-        checkpoint.save(args.checkpoint,
-                        state=jax.tree.map(np.asarray, mgr._state),
-                        meta={"ms_done": args.ms,
-                              "prns": [s.prn for s in mgr.slots]})
+        mgr.save_checkpoint(args.checkpoint)
     if navr is not None and args.assist and navr.almanac:
         navr.save_assist(args.assist)
     if args.log:
@@ -333,7 +328,13 @@ def main(argv=None) -> int:
     p.add_argument("--epoch-ms", type=int, default=100)
     p.add_argument("--dll-bw", type=float, default=1.0)
     p.add_argument("--log", default=None, help="telemetry JSONL path")
-    p.add_argument("--checkpoint", default=None, help=".npz state path")
+    p.add_argument("--checkpoint", default=None,
+                   help="save the live channel bank here after the run "
+                        "(.npz; warm-restart with --resume)")
+    p.add_argument("--resume", default=None,
+                   help="warm-restart from a saved channel bank: resume "
+                        "tracking with no re-acquisition (reference "
+                        "skipAcquisition role)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "fused", "gather", "table"],
                    help="tracking engine (auto = fused Pallas on TPU)")

@@ -1478,6 +1478,72 @@ class ChannelManager:
         self._last_progress = time.monotonic()
         return True
 
+    # --- checkpoint / warm restart ---
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the live channel bank: slot assignments, device
+        tracking state, and stream positions — the reference's
+        skipAcquisition role (initSettings.sci:77, trackingResults.dat
+        autosave) at the live-runtime level."""
+        from gnsstpu.runtime import checkpoint
+
+        checkpoint.save(
+            path,
+            state=jax.tree.map(np.asarray, self._state),
+            meta={
+                "signal": self.sig.signal,
+                "epoch_ms": self.epoch_ms,
+                "slots": [[s.state.value, s.prn, s.started_ms]
+                          for s in self.slots],
+                "abs_pos": [float(v) for v in self._abs_pos],
+                "cursor": int(self._cursor),
+            })
+
+    def restore_checkpoint(self, path: str) -> dict:
+        """Warm-restart from a saved channel bank: slots resume
+        TRACKING at their saved code phases with no re-acquisition
+        (carrier-phase accumulators restart — phase continuity across
+        sessions is not preserved). Call before run(); the source must
+        serve the saved stream positions."""
+        from gnsstpu.runtime import checkpoint
+
+        state, meta, _, _ = checkpoint.load(path)
+        if meta.get("signal") != self.sig.signal:
+            raise ValueError(
+                f"checkpoint is for signal {meta.get('signal')!r}")
+        self._state = jax.tree.map(jnp.asarray, state)
+        self._abs_pos = np.asarray(meta["abs_pos"], np.float64)
+        self._cursor = int(meta["cursor"])
+        for i, (st, prn, _started) in enumerate(meta["slots"]):
+            s = self.slots[i]
+            s.state = SlotState(st)
+            s.prn = int(prn)
+            s.bad_epochs = 0
+            # Epoch labels restart at 0 in the resumed run.
+            s.started_ms = 0
+            if s.state is SlotState.IDLE or not s.prn:
+                continue
+            # Rebuild the slot's code tables / consts and a fresh
+            # history (the stream restarts at the resume point).
+            self.eng.write_slot(self._bank, i, s.prn)
+            from gnsstpu.tracking.carrier import CarrierPhaseAccumulator
+            dopp0 = float(np.asarray(
+                self._state.corr.carr_delta[i])) if hasattr(
+                    self._state.corr, "carr_delta") else 0.0
+            self.history[s.prn] = {
+                "i_p": [], "q_p": [], "carr_doppler": [],
+                "abs_sample": [], "start_ms": 0, "carr_cycles": [],
+                "evicted": 0,
+                "_cph": CarrierPhaseAccumulator(
+                    int(self._bank["carr_base"][i]), self.sig.fs,
+                    dopp0),
+            }
+            if self.eng.has_data_component:
+                self.history[s.prn]["i_p2"] = []
+                self.history[s.prn]["q_p2"] = []
+        self._bank_dev = None      # re-upload the rebuilt bank
+        return meta
+
     # --- history accessors ---
 
     def prompt_stream(self, prn: int) -> dict:

@@ -247,3 +247,61 @@ def test_manager_fused_engine_tracks(tmp_path):
     stages = {h["stage"] for h in health}
     assert {"acquire", "track", "assess"} <= stages
     assert all(h["wall_s"] >= 0 for h in health)
+
+
+def test_manager_warm_restart_no_reacquisition(tmp_path):
+    """Manager-level warm restart (reference skipAcquisition role at
+    the live-runtime level): a fresh manager restored from a saved
+    channel bank resumes TRACKING at the saved stream positions with
+    ZERO acquisition searches, and its Doppler matches truth."""
+    import io as _io
+    import json as _json
+
+    from gnsstpu.runtime.manager import ChannelManager, SlotState
+    from gnsstpu.runtime.sources import SimSource
+    from gnsstpu.runtime.telemetry import Telemetry
+
+    sats = [SatParams(prn=5, doppler_hz=900.0, code_phase_chips=200.5,
+                      cn0_dbhz=47.0),
+            SatParams(prn=12, doppler_hz=-1500.0,
+                      code_phase_chips=700.25, cn0_dbhz=46.0)]
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=3)
+    n_ms = 1500
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=6e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(5, 12), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0), n_channels=3)
+
+    def mk(sink):
+        return ChannelManager(
+            SimSource(IFSimulator(SIG, sats, noise_sigma=1.0, seed=3),
+                      n_ms + 60), cfg,
+            telemetry=Telemetry(sink=sink), epoch_ms=100,
+            reacq_period_ms=400, cn0_drop_dbhz=35.0,
+            prn_pool=[5, 12], sync_every=2)
+
+    m1 = mk(_io.StringIO())
+    m1.run(800)
+    assert {s.prn for s in m1.slots if s.prn} == {5, 12}
+    path = tmp_path / "bank.npz"
+    m1.save_checkpoint(str(path))
+
+    sink2 = _io.StringIO()
+    m2 = mk(sink2)
+    meta = m2.restore_checkpoint(str(path))
+    assert meta["cursor"] == m1._cursor
+    m2.run(600)
+    evs = [_json.loads(l) for l in sink2.getvalue().splitlines()]
+    # NO acquisition searches, no channel starts: the bank resumed.
+    assert not [e for e in evs if e.get("what") == "channel_start"]
+    assert not [e for e in evs if e.get("stage") == "acquire"]
+    last_prn = {s.prn: i for i, s in enumerate(m2.slots) if s.prn}
+    assert set(last_prn) == {5, 12}
+    ch = [e for e in evs if e.get("type") == "channel_health"]
+    d5 = [e["doppler_hz"] for e in ch if e.get("prn") == 5][-1]
+    d12 = [e["doppler_hz"] for e in ch if e.get("prn") == 12][-1]
+    assert abs(d5 - 900.0) < 5.0 and abs(d12 + 1500.0) < 5.0
+    for s in m2.slots:
+        if s.prn:
+            assert s.state is SlotState.TRACKING

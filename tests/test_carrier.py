@@ -224,3 +224,20 @@ def test_measurement_stream_phase_rate_matches_truth():
                      / ((abs_sample[i, k_ms] - abs_sample[i, k_ms
                          - step_ms]) / fs))
             assert abs(pp[j] - truth) < 5e-3, (p, pp[j] - truth)
+
+
+def test_compact_readback_serial_path():
+    """Serial (non-prefetch) compact readback goes through the
+    tuple-leaf decode branch; tracking and the exact-lane parity with
+    the f32 wire must hold there too."""
+    mgr, recs = _run(sync_every=4, readback="compact")
+    last = recs[-1]
+    assert {int(p) for p in last.prn if p} == {5, 12}
+    m32, _ = _run(sync_every=4)
+    for prn in (5, 12):
+        np.testing.assert_array_equal(
+            m32.prompt_stream(prn)["carr_doppler"],
+            mgr.prompt_stream(prn)["carr_doppler"])
+        np.testing.assert_array_equal(
+            m32.prompt_stream(prn)["carr_cycles"],
+            mgr.prompt_stream(prn)["carr_cycles"])

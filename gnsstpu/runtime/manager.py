@@ -1487,6 +1487,29 @@ class ChannelManager:
         autosave) at the live-runtime level."""
         from gnsstpu.runtime import checkpoint
 
+        # Carrier-phase continuity (reference: Measurement_M cycle
+        # counts survive the delayed measurement buffer for
+        # differencing, objects/correlator.cpp:263-357): persist each
+        # live slot's integer NCO-mirror accumulator so integrated
+        # carrier phase — and the absolute block index (evicted +
+        # appended blocks) — continue across the restart. acc can
+        # exceed int64 on long runs (it is an exact Python int), so it
+        # ships as a decimal string in the JSON meta.
+        cph = {}
+        for s in self.slots:
+            if s.state is SlotState.IDLE or s.prn not in self.history:
+                continue
+            h = self.history[s.prn]
+            a = h.get("_cph")
+            if a is None:
+                continue
+            cph[str(s.prn)] = {
+                "acc": str(a.acc),
+                "last_delta": float(a.last_delta),
+                "base": int(a.base),
+                "blocks_seen": int(h.get("evicted", 0))
+                + sum(len(x) for x in h["i_p"]),
+            }
         checkpoint.save(
             path,
             state=jax.tree.map(np.asarray, self._state),
@@ -1497,14 +1520,17 @@ class ChannelManager:
                           for s in self.slots],
                 "abs_pos": [float(v) for v in self._abs_pos],
                 "cursor": int(self._cursor),
+                "cph": cph,
             })
 
     def restore_checkpoint(self, path: str) -> dict:
         """Warm-restart from a saved channel bank: slots resume
-        TRACKING at their saved code phases with no re-acquisition
-        (carrier-phase accumulators restart — phase continuity across
-        sessions is not preserved). Call before run(); the source must
-        serve the saved stream positions."""
+        TRACKING at their saved code phases with no re-acquisition.
+        Carrier-phase accumulators are restored too, so integrated
+        carrier phase (and the absolute block index via h['evicted'])
+        is CONTINUOUS across the restart — phase_u32 stays bit-exact
+        vs an uninterrupted run (tests/test_runtime.py). Call before
+        run(); the source must serve the saved stream positions."""
         from gnsstpu.runtime import checkpoint
 
         state, meta, _, _ = checkpoint.load(path)
@@ -1524,19 +1550,28 @@ class ChannelManager:
             if s.state is SlotState.IDLE or not s.prn:
                 continue
             # Rebuild the slot's code tables / consts and a fresh
-            # history (the stream restarts at the resume point).
+            # history (the stream restarts at the resume point; the
+            # saved accumulator + blocks_seen keep carrier phase and
+            # the absolute block index continuous across the gap).
             self.eng.write_slot(self._bank, i, s.prn)
             from gnsstpu.tracking.carrier import CarrierPhaseAccumulator
             dopp0 = float(np.asarray(
                 self._state.corr.carr_delta[i])) if hasattr(
                     self._state.corr, "carr_delta") else 0.0
+            saved = (meta.get("cph") or {}).get(str(s.prn))
+            cph = CarrierPhaseAccumulator(
+                int(self._bank["carr_base"][i]), self.sig.fs,
+                saved["last_delta"] if saved else dopp0)
+            evicted = 0
+            if saved:
+                cph.acc = int(saved["acc"])
+                cph.base = int(saved["base"])
+                evicted = int(saved["blocks_seen"])
             self.history[s.prn] = {
                 "i_p": [], "q_p": [], "carr_doppler": [],
                 "abs_sample": [], "start_ms": 0, "carr_cycles": [],
-                "evicted": 0,
-                "_cph": CarrierPhaseAccumulator(
-                    int(self._bank["carr_base"][i]), self.sig.fs,
-                    dopp0),
+                "evicted": evicted,
+                "_cph": cph,
             }
             if self.eng.has_data_component:
                 self.history[s.prn]["i_p2"] = []

@@ -15,9 +15,11 @@ LIVE counterpart: polled by the ChannelManager at epoch boundaries, it
      window tracked so far, emitting each NEW solution as a PVT
      telemetry record (SPS message family, reference messages.h).
 
-Constellations: GPS LNAV, GLONASS strings, BeiDou D1 (the 1 ms-code
-families the ChannelManager drives; Galileo's BOC path has its own
-4 ms-cadence tracker outside the manager).
+Constellations: GPS LNAV, GLONASS strings, BeiDou D1, and Galileo
+I/NAV — every family the ChannelManager drives (Galileo E1B rides the
+manager through the BocEngine adapter at its 4 ms code period,
+tracking.engines; live E1 nav-under-the-manager is pinned by
+tests/test_live_families.py).
 """
 
 from __future__ import annotations

@@ -305,3 +305,23 @@ def test_manager_warm_restart_no_reacquisition(tmp_path):
     for s in m2.slots:
         if s.prn:
             assert s.state is SlotState.TRACKING
+
+    # Carrier-phase continuity: the restored accumulator carries
+    # acc/last_delta across the restart, so the resumed run's uint32
+    # NCO mirror is BIT-EXACT vs one uninterrupted 1400 ms run
+    # (reference: Measurement_M cycle counts survive for differencing,
+    # objects/correlator.cpp:263-357).
+    m0 = mk(_io.StringIO())
+    m0.run(1400)
+    for prn in (5, 12):
+        a0 = m0.history[prn]["_cph"]
+        a2 = m2.history[prn]["_cph"]
+        assert a2.acc == a0.acc
+        assert a2.phase_u32 == a0.phase_u32
+        assert a2.last_delta == a0.last_delta
+        # Absolute block indexing continues: evicted + appended blocks
+        # equals the uninterrupted run's block count.
+        n0 = sum(len(x) for x in m0.history[prn]["i_p"])
+        n2 = (m2.history[prn]["evicted"]
+              + sum(len(x) for x in m2.history[prn]["i_p"]))
+        assert n2 == n0

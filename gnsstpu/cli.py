@@ -136,6 +136,28 @@ def cmd_track(args) -> int:
     if args.commands:
         from gnsstpu.runtime.console import CommandBus
         bus = CommandBus(args.commands)
+    srv = None
+    tlm = Telemetry(sink=sink)
+    if getattr(args, "station_port", None) is not None:
+        # Remote station transport (runtime.remote): telemetry fans out
+        # over TCP and station commands ride the same socket back —
+        # `gnsstpu monitor --log tcp://host:PORT --interactive`
+        # monitors/commands this receiver from another machine (the
+        # reference's serial-telemetry role, objects/telemetry.cpp:193).
+        from gnsstpu.runtime.remote import StationServer
+        srv = StationServer(host="0.0.0.0", port=args.station_port)
+        srv.attach(tlm)
+        print(f"station server on tcp://0.0.0.0:{srv.port}",
+              file=sys.stderr)
+        if bus is None:
+            bus = srv.commands
+        else:
+            file_bus = bus
+
+            class _MergedBus:
+                def poll(self):
+                    return file_bus.poll() + srv.commands.poll()
+            bus = _MergedBus()
     navr = None
     if args.navigate:
         from gnsstpu.config import NavConfig
@@ -151,7 +173,7 @@ def cmd_track(args) -> int:
                 seed_pos, seed_t = vals[:3], vals[3]
             navr.load_assist(args.assist, seed_pos=seed_pos,
                              seed_t=seed_t)
-    mgr = ChannelManager(src, cfg, telemetry=Telemetry(sink=sink),
+    mgr = ChannelManager(src, cfg, telemetry=tlm,
                          epoch_ms=args.epoch_ms, commands=bus,
                          engine=args.engine, navigator=navr,
                          sync_every=args.sync_every,
@@ -172,6 +194,8 @@ def cmd_track(args) -> int:
         mgr.save_checkpoint(args.checkpoint)
     if navr is not None and args.assist and navr.almanac:
         navr.save_assist(args.assist)
+    if srv is not None:
+        srv.close()
     if args.log:
         sink.close()
     live = [int(p) for p in (recs[-1].prn if recs else []) if p]
@@ -389,6 +413,11 @@ def main(argv=None) -> int:
     p.add_argument("--commands", default=None,
                    help="JSONL command file polled each epoch "
                         "(drop/mask/unmask/set/stop)")
+    p.add_argument("--station-port", type=int, default=None,
+                   help="serve telemetry + accept station commands on "
+                        "this TCP port (monitor remotely with "
+                        "`gnsstpu monitor tcp://HOST:PORT "
+                        "--interactive`); 0 = OS-assigned")
     p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("solve", help="full chain to a position fix")
@@ -412,7 +441,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("monitor", help="status board from a telemetry log")
-    p.add_argument("log")
+    p.add_argument("log",
+                   help="telemetry JSONL path, or tcp://HOST:PORT of a "
+                        "receiver started with --station-port "
+                        "(interactive remote monitoring + commands)")
     p.add_argument("--follow", action="store_true")
     p.add_argument("--interval", type=float, default=1.0)
     p.add_argument("--page", default="channels",

@@ -48,8 +48,17 @@ class GroundStation:
 
     def __init__(self, log_path: str, command_path: Optional[str] = None,
                  hist: int = 48):
+        """log_path: telemetry JSONL file to tail, or a
+        ``tcp://host:port`` URL of a receiver-side StationServer
+        (runtime.remote) — the reference's named-pipe/serial transport
+        split (objects/telemetry.cpp:80-89,193). Over TCP the command
+        backhaul rides the same connection; command_path is unused."""
         self.log_path = log_path
         self.command_path = command_path
+        self._link = None
+        self._tcp = None
+        from gnsstpu.runtime.remote import parse_tcp_url
+        self._tcp = parse_tcp_url(log_path)
         self.board = StatusBoard()
         self.page_idx = 0
         self.input_mode = False
@@ -65,8 +74,42 @@ class GroundStation:
 
     # -- telemetry ingestion --
 
+    def _ingest(self, line: str) -> bool:
+        """Feed one raw telemetry line into the board/history state."""
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            return False
+        self.board.update(rec)
+        if rec.get("type") == "channel_health":
+            ch = rec["chan"]
+            self.cn0_hist.setdefault(
+                ch, deque(maxlen=self._hist)).append(
+                    rec.get("cn0_dbhz", 0.0))
+            self.dopp_hist.setdefault(
+                ch, deque(maxlen=self._hist)).append(
+                    rec.get("doppler_hz", 0.0))
+            ia, qa = rec.get("ip_abs"), rec.get("qp_abs")
+            if ia is not None:
+                # I/Q balance: |Q|/(|I|+|Q|) ~ 0 when the Costas
+                # loop has the signal on I (phase locked).
+                bal = qa / max(ia + qa, 1e-9)
+                self.iq_hist.setdefault(
+                    ch, deque(maxlen=self._hist)).append(bal)
+        return True
+
     def pump(self) -> int:
         """Read any new telemetry lines; returns number consumed."""
+        if self._tcp is not None:
+            if self._link is None:
+                from gnsstpu.runtime.remote import StationSocket
+                try:
+                    self._link = StationSocket(*self._tcp)
+                except OSError:
+                    self.message = f"connect failed: {self.log_path}"
+                    return 0
+            return sum(1 for line in self._link.read_lines()
+                       if self._ingest(line))
         if not os.path.exists(self.log_path):
             return 0
         n = 0
@@ -78,29 +121,8 @@ class GroundStation:
                     break          # EOF or partial line: retry later
                 self._pos = f.tell()
                 line = line.strip()
-                if not line:
-                    continue
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                self.board.update(rec)
-                if rec.get("type") == "channel_health":
-                    ch = rec["chan"]
-                    self.cn0_hist.setdefault(
-                        ch, deque(maxlen=self._hist)).append(
-                            rec.get("cn0_dbhz", 0.0))
-                    self.dopp_hist.setdefault(
-                        ch, deque(maxlen=self._hist)).append(
-                            rec.get("doppler_hz", 0.0))
-                    ia, qa = rec.get("ip_abs"), rec.get("qp_abs")
-                    if ia is not None:
-                        # I/Q balance: |Q|/(|I|+|Q|) ~ 0 when the Costas
-                        # loop has the signal on I (phase locked).
-                        bal = qa / max(ia + qa, 1e-9)
-                        self.iq_hist.setdefault(
-                            ch, deque(maxlen=self._hist)).append(bal)
-                n += 1
+                if line and self._ingest(line):
+                    n += 1
         return n
 
     # -- operator input --
@@ -153,6 +175,19 @@ class GroundStation:
         if cmd is None:
             self.message = f"?? {text!r} (drop/mask/unmask N, set K V, stop)"
             return False
+        if self._tcp is not None:
+            # Remote link: the command backhaul rides the telemetry
+            # socket (the reference's GUI2GPS reverse pipe role).
+            if self._link is None:
+                self.message = "not connected"
+                return False
+            try:
+                self._link.send_command(cmd)
+            except OSError:
+                self.message = "send failed (link down)"
+                return False
+            self.message = f"sent: {json.dumps(cmd)}"
+            return True
         if self.command_path is None:
             self.message = "no command channel (--commands not given)"
             return False

@@ -106,3 +106,55 @@ def test_station_rejects_bad_command(tmp_path):
     assert st.submit("set cn0_drop 30")
     assert json.loads((tmp_path / "c.jsonl").read_text()) == {
         "cmd": "set", "key": "cn0_drop", "v": 30.0}
+
+
+def test_station_tcp_transport():
+    """Remote station link (runtime.remote): telemetry fans out over a
+    localhost TCP socket (the reference's serial/remote transport,
+    objects/telemetry.cpp:193) and an operator command rides the same
+    connection back into a CommandBus-compatible queue."""
+    import time
+
+    from gnsstpu.runtime.remote import StationServer
+
+    srv = StationServer()
+    try:
+        tlm = Telemetry(sink=None)
+        srv.attach(tlm)
+        station = GroundStation(f"tcp://127.0.0.1:{srv.port}")
+        station.pump()                       # connects
+        deadline = time.time() + 5.0
+        while srv.n_clients() == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv.n_clients() == 1
+
+        # Receiver -> station: channel health + an event arrive live.
+        tlm.channel_health(100, 2, 7, "tracking", 45.2, 1234.5, 0.98,
+                           ip_abs=900.0, qp_abs=40.0)
+        tlm.event(100, "channel_start", chan=2, prn=7)
+        got = 0
+        deadline = time.time() + 5.0
+        while got < 2 and time.time() < deadline:
+            got += station.pump()
+            time.sleep(0.01)
+        assert got == 2
+        assert station.board.channels[2]["prn"] == 7
+        assert station.cn0_hist[2][-1] == 45.2
+
+        # Station -> receiver: ':drop 7' rides the socket back.
+        for k in ":drop 7":
+            station.handle_key(k)
+        station.handle_key("ENTER")
+        assert "sent" in station.message
+        cmds = []
+        deadline = time.time() + 5.0
+        while not cmds and time.time() < deadline:
+            cmds = srv.commands.poll()
+            time.sleep(0.01)
+        assert cmds == [{"cmd": "drop", "prn": 7}]
+
+        # Render still works over the remote link.
+        assert " 7" in station.render()
+        station._link.close()
+    finally:
+        srv.close()

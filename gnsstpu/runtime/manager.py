@@ -246,8 +246,21 @@ class ChannelManager:
         # (head-trimmed whole epoch chunks; h['evicted'] counts dropped
         # code periods so navigator index math stays absolute) and
         # `records` keeps only the trailing window. None = unbounded
-        # (offline analysis). Choose a window >= the constellation's
-        # decode need (~36 s covers every family's frame cycle).
+        # for FINITE sources (offline analysis); an UNBOUNDED live
+        # source (StreamSource and friends report len >= 2^61) defaults
+        # to a 36 s window — enough for every family's ephemeris frame
+        # cycle (GPS 30 s LNAV frame, GLONASS strings 1-4, BeiDou D1,
+        # Galileo I/NAV nominal sub-frame) — so a multi-hour live run
+        # holds constant memory by construction, like the reference's
+        # fixed FIFO. Pass an explicit window (or a huge one) to
+        # override.
+        if history_window_ms is None:
+            try:
+                unbounded = len(source) >= 2 ** 61
+            except TypeError:      # no __len__: endless by contract
+                unbounded = True
+            if unbounded:
+                history_window_ms = 36_000
         self.history_window_ms = history_window_ms
         self.records: List[EpochRecord] = []
         self.history: Dict[int, dict] = {}         # prn -> prompt streams

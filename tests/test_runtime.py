@@ -325,3 +325,97 @@ def test_manager_warm_restart_no_reacquisition(tmp_path):
         n2 = (m2.history[prn]["evicted"]
               + sum(len(x) for x in m2.history[prn]["i_p"]))
         assert n2 == n0
+
+
+def test_unbounded_source_bounds_history_by_default():
+    """An unbounded live source (len >= 2^61) gets a 36 s default
+    history window — constant memory by construction, like the
+    reference's fixed 4000-deep FIFO (objects/fifo.cpp:53) — while a
+    finite source keeps unbounded (offline-analysis) retention, and an
+    explicit window always wins."""
+    from gnsstpu.runtime.sources import ArraySource
+
+    class UnboundedSource(ArraySource):
+        def __len__(self):
+            return 2 ** 62
+
+    sim = IFSimulator(SIG, [SatParams(prn=5, doppler_hz=900.0,
+                                      code_phase_chips=200.5,
+                                      cn0_dbhz=47.0)],
+                      noise_sigma=1.0, seed=3)
+    samples = np.asarray(sim.generate(40))
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=6e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(5,)),
+        track=TrackConfig(dll_bw=1.0), n_channels=2)
+
+    def mk(src, **kw):
+        return ChannelManager(src, cfg,
+                              telemetry=Telemetry(sink=io.StringIO()),
+                              epoch_ms=10, prn_pool=[5], **kw)
+
+    assert mk(UnboundedSource(samples)).history_window_ms == 36_000
+    assert mk(ArraySource(samples)).history_window_ms is None
+    assert mk(UnboundedSource(samples),
+              history_window_ms=5_000).history_window_ms == 5_000
+
+
+def test_bounded_history_plateaus_flat():
+    """Long-run memory bound: with a history window, per-PRN prompt
+    history and the records list PLATEAU — sampled at every supervision
+    epoch over >= 3 windows, the retained sizes never exceed the
+    window-derived cap (the flat-RSS property of the reference's fixed
+    trackResults arrays)."""
+    sats = [SatParams(prn=5, doppler_hz=900.0, code_phase_chips=200.5,
+                      cn0_dbhz=47.0)]
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=3)
+    n_ms = 2100
+    samples = np.asarray(sim.generate(n_ms + 80))
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=6e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(5,), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0), n_channels=2)
+    from gnsstpu.runtime.sources import ArraySource
+
+    win_ms = 500
+    tlm = Telemetry(sink=io.StringIO())
+    mgr = ChannelManager(
+        ArraySource(samples), cfg, telemetry=tlm, epoch_ms=100,
+        reacq_period_ms=10 ** 9, cn0_drop_dbhz=35.0, prn_pool=[5],
+        sync_every=2, history_window_ms=win_ms)
+
+    sizes = []
+
+    def sample(rec):
+        if rec.get("type") != "channel_health":
+            return
+        h = mgr.history.get(5)
+        if h:
+            sizes.append((sum(len(a) for a in h["i_p"]),
+                          len(mgr.records)))
+
+    tlm.subscribe(sample)
+    mgr.run(n_ms)                       # > 4 windows of tracking
+
+    assert len(sizes) >= 15
+    wb = win_ms // mgr.eng.period_ms    # blocks the window allows
+    # Eviction trims whole epoch chunks, so retention may exceed the
+    # window by at most one epoch's blocks; records cap is exact.
+    bpe = mgr.epoch_ms // mgr.eng.period_ms
+    peak_blocks = max(s[0] for s in sizes)
+    assert peak_blocks <= wb + bpe
+    # (+1: the sampler fires mid-epoch, before that epoch's trim)
+    assert max(s[1] for s in sizes) <= win_ms // mgr.epoch_ms + 1
+    # Plateau: the last 3 windows' samples never grow past the peak
+    # reached by the end of window 2 (flat, not creeping).
+    early_peak = max(s[0] for s in sizes[: len(sizes) // 3])
+    late = [s[0] for s in sizes[-len(sizes) // 3:]]
+    assert max(late) <= early_peak + bpe
+    # Eviction really happened (the run is much longer than the window)
+    # and absolute indexing is preserved.
+    h = mgr.history[5]
+    assert h["evicted"] > 0
+    assert h["evicted"] + sum(len(a) for a in h["i_p"]) \
+        >= (n_ms - 3 * mgr.epoch_ms) // mgr.eng.period_ms

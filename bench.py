@@ -14,8 +14,11 @@ Also measured (VERDICT r1 item 4):
     cells/s and searches/s;
   * channel-scaling curve (12/48/192/768 channels) to locate the per-chip
     saturation point;
-  * sustained end-to-end ChannelManager run (host feed + epochs + lock
-    supervision included).
+  * sustained end-to-end ChannelManager run with the LIVE NAVIGATOR in
+    the measured loop (host feed + epochs + lock supervision + frame
+    sync + ephemeris decode + LSQ PVT — the FULL receiver, matching the
+    reference's thread set, main/init.cpp:289-340), with a per-stage
+    task_health breakdown in the artifact (VERDICT r4 item 1).
 
 Timing method (honest device throughput): each measurement jits a chain
 of K dependent engine calls and takes the SLOPE between two K values
@@ -167,35 +170,120 @@ def bench_acquisition(sig, k_lo=4, k_hi=24, fft_mode="auto"):
     }
 
 
-def bench_manager(sig, seconds=40, n_channels=12, epoch_ms=500,
+def _bench_constellation(sig, n_sats, duration_s):
+    """Geometry-true GPS constellation with LNAV bit streams: SatParams
+    whose Doppler/code-phase/nav-bits are consistent with a real
+    receiver position, so the live OnlineNavigator can frame-sync,
+    decode ephemerides, and SOLVE during the bench (the reference's
+    real-time number includes its Ephemeris and PVT threads,
+    main/init.cpp:289-340). Mirrors tests/test_full_chain.py's
+    synthetic constellation."""
+    from gnsstpu.nav import geodesy
+    from gnsstpu.nav.orbits import satpos
+    from gnsstpu.nav.types import Ephemeris
+    from gnsstpu.sim.scenario import build_scenario
+
+    base = dict(
+        t_oc=266400.0, a_f0=2.45e-4, a_f1=-3.2e-12, a_f2=0.0,
+        T_GD=-4.656e-9, sqrtA=5153.712, e=0.0123456, M_0=1.23456,
+        deltan=4.2e-9, omega=-1.87654, omega_0=-2.0312,
+        omegaDot=-8.1e-9, i_0=0.96123, iDot=4.0e-10, t_oe=266400.0,
+        C_uc=-6.7e-7, C_us=8.1e-6, C_rc=221.5625, C_rs=-12.8125,
+        C_ic=-7.45e-8, C_is=1.12e-7, valid=True)
+    recv = np.array([3427947.0, 603774.0, 5326967.0])
+    tow0_6s = 44400                    # = t_oe (tk ~ 0)
+    ephs = []
+    for k in range(24):
+        d = dict(base)
+        d["M_0"] = (base["M_0"] + 2.1 * k) % (2 * np.pi) - np.pi
+        d["omega_0"] = (base["omega_0"] + 1.1 * k) % (2 * np.pi) - np.pi
+        d["i_0"] = 0.93 + 0.03 * (k % 3)
+        ephs.append(Ephemeris(**d))
+    pos, _ = satpos(tow0_6s * 6.0, ephs)
+    _, el, _ = geodesy.topocent(recv, pos - recv)
+    order = np.argsort(-el)[:n_sats]
+    chosen = {int(k) + 1: ephs[k] for k in order}
+    n_sf = int(np.ceil((duration_s + 8.0) / 6.0))
+    sats = build_scenario(sig, chosen, recv, tow0_6s,
+                          duration_s=duration_s, cn0_dbhz=47.0,
+                          n_subframes=n_sf)
+    return sats, sorted(chosen), recv
+
+
+class _StageCollector:
+    """Aggregate task_health stage timers + PVT/eph records from the
+    telemetry bus (VERDICT r4 item 1: the per-stage breakdown ships in
+    the artifact instead of being discarded)."""
+
+    def __init__(self):
+        self.rows = []                 # (epoch_ms, stage, wall_s, read)
+        self.track_wall = []           # (epoch_ms, perf_counter at emit)
+        self.pvt = []                  # (epoch_ms, lat, lon, h, n_sv)
+        self.eph_events = 0
+        self.enabled = False
+
+    def __call__(self, rec):
+        if not self.enabled:
+            return
+        t = rec.get("type")
+        if t == "task_health":
+            self.rows.append((rec["epoch_ms"], rec["stage"],
+                              rec["wall_s"], rec.get("read_s", 0.0)))
+            if rec["stage"] == "track":
+                self.track_wall.append((rec["epoch_ms"],
+                                        time.perf_counter()))
+        elif t == "pvt":
+            self.pvt.append((rec["epoch_ms"], rec["lat_deg"],
+                             rec["lon_deg"], rec["h_m"], rec["n_sv"]))
+        elif (t == "event"
+              and rec.get("what") == "ephemeris_decoded"):
+            self.eph_events += 1
+
+    def breakdown(self, lo_ms, hi_ms):
+        out = {}
+        for ems, stage, wall, read_s in self.rows:
+            if lo_ms <= ems < hi_ms:
+                d = out.setdefault(stage, [0.0, 0])
+                d[0] += wall
+                d[1] += 1
+                if stage == "upload" and read_s:
+                    r = out.setdefault("read", [0.0, 0])
+                    r[0] += read_s
+                    r[1] += 1
+        return {k: {"s": round(v[0], 4), "n": v[1]}
+                for k, v in sorted(out.items())}
+
+
+def bench_manager(sig, seconds=44, n_channels=12, epoch_ms=500,
                   sync_every=8, wire="sm2", reacq_period_ms=1000,
                   prefetch=True, device_resident=False,
-                  readback="compact"):
+                  readback="compact", navigate=True):
     """Sustained end-to-end: the pipelined ChannelManager (production
     fused engine, superepoch batching, 2-bit GN3S-format wire with
-    device-side unpack) over a pre-generated signal — includes host
-    feed, sample upload, lock supervision, telemetry, live
-    reacquisition searches (the PRN pool holds one absent SV, so every
-    reacq period runs a REAL full cold search riding the superepoch's
-    device chunk). Wall-clock through the tunnel."""
-    import io
-
+    device-side unpack) over a geometry-true pre-generated signal —
+    includes host feed, sample upload, lock supervision, telemetry,
+    live reacquisition searches (the PRN pool holds absent SVs, so a
+    due reacq period dispatches a REAL full cold search riding the
+    superepoch's device chunk), AND — navigate=True — the FULL
+    receiver: the live OnlineNavigator runs frame sync, LNAV ephemeris
+    decode, and periodic LSQ PVT inside the measured loop, with
+    history bounded to the 36 s live window. Wall-clock through the
+    tunnel; per-stage task_health timers ship in the artifact."""
     import jax
 
-    from gnsstpu.config import AcqConfig, ReceiverConfig, TrackConfig
+    from gnsstpu.config import (AcqConfig, NavConfig, ReceiverConfig,
+                                TrackConfig)
     from gnsstpu.runtime.manager import ChannelManager
     from gnsstpu.runtime.sources import PackedArraySource
     from gnsstpu.runtime.telemetry import Telemetry
-    from gnsstpu.sim import IFSimulator, SatParams
+    from gnsstpu.sim import IFSimulator
 
     n_ms = seconds * 1000
-    # One slot stays idle and two pool PRNs are absent, so every reacq
+    # One slot stays idle and two pool PRNs are absent, so a due reacq
     # period dispatches a REAL full cold search (the manager — like the
     # reference's SV_Select — only searches when a channel is free).
-    prns = list(range(1, n_channels))
-    sats = [SatParams(prn=p, doppler_hz=300.0 * (p - 6),
-                      code_phase_chips=77.0 * p, cn0_dbhz=47.0)
-            for p in prns]
+    sats, prns, recv = _bench_constellation(
+        sig, n_channels - 1, duration_s=seconds + 1.0)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=3)
@@ -213,35 +301,72 @@ def bench_manager(sig, seconds=40, n_channels=12, epoch_ms=500,
     else:
         src = PackedArraySource(buf, fmt=wire, scale=1.0)
 
-    pool = prns + [n_channels + 1, n_channels + 2]   # 2 absent SVs
+    absent = [p for p in range(1, 33) if p not in prns][:2]
+    pool = prns + absent               # 2 absent SVs
     cfg = ReceiverConfig(
         signal=sig,
-        acq=AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.4,
+        acq=AcqConfig(doppler_band=8e3, coherent_ms=2, threshold=2.4,
                       prn_list=tuple(pool)),
-        track=TrackConfig(dll_bw=1.0, el_spacing=0.3),
+        track=TrackConfig(dll_bw=1.0, el_spacing=0.3, pll_bw=25.0,
+                          fll_bw=250.0),
+        nav=NavConfig(sol_period_ms=1000, elevation_mask_deg=5.0,
+                      use_tropo=False),
         n_channels=n_channels)
+    navr = None
+    if navigate:
+        from gnsstpu.runtime.navigator import OnlineNavigator
+        navr = OnlineNavigator(sig, cfg.nav, mode="lsq")
+    coll = _StageCollector()
+    tlm = Telemetry(sink=None)
+    tlm.subscribe(coll)
     warm_ms = 2 * sync_every * epoch_ms
     mgr = ChannelManager(
-        src, cfg, telemetry=Telemetry(sink=io.StringIO()),
+        src, cfg, telemetry=tlm,
         epoch_ms=epoch_ms, reacq_period_ms=reacq_period_ms,
-        sync_every=sync_every,
-        prn_pool=pool, prefetch=prefetch, readback=readback)
+        sync_every=sync_every, navigator=navr,
+        prn_pool=pool, prefetch=prefetch, readback=readback,
+        history_window_ms=36_000)
     mgr.run(warm_ms)                 # warmup: acquire + compile
-    # Two measured windows, best-of reported (the shared tunnel's load
-    # varies +-30-50% between seconds; both values ship in the
-    # artifact). Each window is a whole number of superepochs.
-    meas_ms = (n_ms - warm_ms) // 2
-    meas_ms -= meas_ms % (sync_every * epoch_ms)
-    rts = []
-    recs = []
-    for _ in range(2):
-        # Epoch labels restart per run() call: re-arm the reacq clock
-        # so BOTH windows dispatch live searches on the same cadence.
-        mgr._next_reacq_ms = 0
-        t0 = time.perf_counter()
-        recs = mgr.run(meas_ms)
-        rts.append(meas_ms / 1000.0 / (time.perf_counter() - t0))
+    # One continuous measured run (the navigator's decode/solve clocks
+    # stay monotonic), reported as two half-windows — the shared
+    # tunnel's load varies +-30-50% between seconds, so best-of-2 plus
+    # both values ship in the artifact. Each half is a whole number of
+    # superepochs; the split instant comes from the wall timestamp of
+    # the first harvested superepoch of the second half.
+    sup_ms = sync_every * epoch_ms
+    meas_ms = ((n_ms - warm_ms - epoch_ms) // (2 * sup_ms)) * 2 * sup_ms
+    half_ms = meas_ms // 2
+    coll.enabled = True
+    mgr._next_reacq_ms = 0
+    t0 = time.perf_counter()
+    recs = mgr.run(meas_ms)
+    t1 = time.perf_counter()
+    coll.enabled = False
+    t_half = next((t for ems, t in coll.track_wall if ems >= half_ms),
+                  t1)
+    rts = [half_ms / 1000.0 / max(t_half - t0, 1e-9),
+           (meas_ms - half_ms) / 1000.0 / max(t1 - t_half, 1e-9)]
+    rt_overall = meas_ms / 1000.0 / max(t1 - t0, 1e-9)
     live = int(sum(1 for p in recs[-1].prn if p)) if recs else 0
+
+    # Navigator outcome inside the measured loop (decode + fix truth
+    # error) — evidence the number includes the full receiver.
+    nav_info = {"armed": navigate}
+    if navigate:
+        from gnsstpu.nav import geodesy
+        nav_info["ephemerides_decoded"] = len(navr.decoded)
+        nav_info["pvt_solutions"] = len(coll.pvt)
+        if coll.pvt:
+            lat, lon, h = coll.pvt[-1][1], coll.pvt[-1][2], coll.pvt[-1][3]
+            tlat, tlon, th = geodesy.cart2geo(*recv, 5)  # degrees
+            r_e = 6378137.0
+            dn = np.deg2rad(lat - tlat) * r_e
+            de = np.deg2rad(lon - tlon) * r_e * np.cos(np.deg2rad(lat))
+            du = h - th
+            err = float(np.sqrt(dn * dn + de * de + du * du))
+            nav_info["pos_err_m"] = round(err, 1)
+            nav_info["n_sv_last"] = int(coll.pvt[-1][4])
+
     # Context: this number is dominated by the host->device link, which
     # on the tunneled rig varies run to run. Record the link's observed
     # one-shot upload throughput so the artifact explains itself.
@@ -252,15 +377,18 @@ def bench_manager(sig, seconds=40, n_channels=12, epoch_ms=500,
     _jax.device_put(up).block_until_ready()
     up_mbps = 2.0 / max(time.perf_counter() - t0, 1e-9)
     note = ("wall-clock incl. host feed, packed upload, live reacq "
-            "searches, per-superepoch readback; bounded by the "
-            "host<->device link (tunnel rig, load-dependent)")
+            "searches, per-superepoch readback, live nav decode + PVT; "
+            "bounded by the host<->device link (tunnel rig, "
+            "load-dependent)")
     if device_resident:
         note = ("same receiver loop, packed signal pre-staged in HBM "
                 "(zero per-chunk upload): the PCIe-attached-host "
-                "projection; readback + supervision still real")
+                "projection; readback + supervision + live nav still "
+                "real")
     return {
         "realtime_factor": round(max(rts), 2),
         "realtime_factor_windows": [round(r, 2) for r in rts],
+        "realtime_factor_overall": round(rt_overall, 2),
         "live_channels_at_end": live,
         "engine": mgr.engine,
         "epoch_ms": epoch_ms,
@@ -270,6 +398,11 @@ def bench_manager(sig, seconds=40, n_channels=12, epoch_ms=500,
         "readback": readback,
         "device_resident": device_resident,
         "reacq_period_ms": reacq_period_ms,
+        "navigator": nav_info,
+        "stage_breakdown_s_first_half": coll.breakdown(0, half_ms),
+        "stage_breakdown_s_second_half": coll.breakdown(half_ms,
+                                                        meas_ms),
+        "measured_ms": meas_ms,
         "link_upload_mbps": round(up_mbps, 1),
         "note": note,
     }

@@ -86,11 +86,20 @@ def least_square_pos(sat_pos: np.ndarray, obs: np.ndarray,
         omc = obs - rng - pos[3] - trop
         A[:, :3] = -(rot_x - pos[:3]) / obs[:, None]
         A[:, 3] = 1.0
-        if np.linalg.matrix_rank(A) != 4:
+        # lstsq's SVD already yields the rank — a separate
+        # matrix_rank() would repeat the decomposition every iteration
+        # (this solver runs per measurement epoch in the LIVE loop).
+        dx, _res, rank, _sv = np.linalg.lstsq(A, omc, rcond=None)
+        if rank != 4:
             return LsqSolution(np.zeros(4), el, az, np.zeros(5), omc,
                                ok=False)
-        dx, *_ = np.linalg.lstsq(A, omc, rcond=None)
         pos = pos + dx
+        # Converged: further iterations only re-add ~machine-noise
+        # steps (the reference iterates a fixed nmbOfIterations=7,
+        # leastSquarePos.sci:16; the fixed count is its convergence
+        # budget, not a semantic).
+        if it > 0 and float(np.abs(dx).max()) < 1e-6:
+            break
     q = np.linalg.inv(A.T @ A)
     dop = np.array([
         np.sqrt(np.trace(q)),

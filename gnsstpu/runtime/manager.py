@@ -107,6 +107,11 @@ class _Inflight:
     t_read: float
     t_up: float
     t_disp: float
+    # Future materializing (packed_np, acq_np) on the fetch thread: the
+    # tunnel/PCIe readback overlaps the NEXT superepoch's dispatch +
+    # supervision instead of stalling the harvest (copy_to_host_async
+    # alone is not proactively drained by every transport).
+    fetch: object = None
 
 
 @dataclasses.dataclass
@@ -1092,11 +1097,22 @@ class ChannelManager:
             return det
         return desired
 
+    def _materialize(self, p: _Inflight):
+        """Fetch-thread body: block on the superepoch's device->host
+        readback (numpy materialization releases the GIL during the
+        transfer wait, so this overlaps the main thread's dispatch +
+        supervision work)."""
+        packed_np = jax.tree.map(np.asarray, p.packed)
+        acq = (jax.tree.map(np.asarray, p.acq_fut)
+               if p.acq_fut is not None else None)
+        return packed_np, acq
+
     def _run_pipelined(self, n_epochs: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         espc = self._espc
         ex = ThreadPoolExecutor(max_workers=1)
+        fx = ThreadPoolExecutor(max_workers=1)   # readback fetcher
         pend: Optional[_Inflight] = None
         nxt = None                 # Future[_Chunk] targeting self._cursor
         entry = True               # host sample_pos rebase needed
@@ -1209,6 +1225,7 @@ class ChannelManager:
                     self._pending_allocs = []
                 cur = self._dispatch_superepoch(chunk, k, e, delta,
                                                 mask, newsp)
+                cur.fetch = fx.submit(self._materialize, cur)
                 self._det_base = base + k * espc
                 k_next = min(self.sync_every, n_epochs - e - k)
                 if k_next > 0:
@@ -1230,6 +1247,7 @@ class ChannelManager:
                               alloc_ms=e * self.epoch_ms)
         finally:
             ex.shutdown(wait=False)
+            fx.shutdown(wait=False)
 
     def _harvest(self, p: _Inflight, next_base: int,
                  alloc_ms: int, k_ahead: int = 0) -> None:
@@ -1241,10 +1259,13 @@ class ChannelManager:
         no window check)."""
         epoch_ms0 = p.e0 * self.epoch_ms
         t0 = time.perf_counter()
-        streams_k, stats_k = self._decode_readback(
-            jax.tree.map(np.asarray, p.packed))
-        acq = (jax.tree.map(np.asarray, p.acq_fut)
-               if p.acq_fut is not None else None)
+        if p.fetch is not None:
+            packed_np, acq = p.fetch.result()
+        else:
+            packed_np = jax.tree.map(np.asarray, p.packed)
+            acq = (jax.tree.map(np.asarray, p.acq_fut)
+                   if p.acq_fut is not None else None)
+        streams_k, stats_k = self._decode_readback(packed_np)
         t1 = time.perf_counter()
         self.tlm.task_health(epoch_ms0, "track", p.t_disp,
                              engine=self.engine, n_active=p.n_active,

@@ -140,6 +140,10 @@ class OnlineNavigator:
         self._hist_start: Dict[int, int] = {}
         self._next_nav = 0
         self._emitted_t = set()
+        # (common_start, n_ms) horizon of the previous solve window:
+        # everything before it is already solved + emitted, so each
+        # poll solves only the newly tracked trailing epochs.
+        self._solved_horizon = None
         # Carrier-derived filter state (Hatch smoothing + phase-rate),
         # persistent across polls so the rolling solve window doesn't
         # reset the filters (pvt.navigate(smooth_state=)).
@@ -374,6 +378,20 @@ class OnlineNavigator:
         # (earlier ones were solved by previous polls; _emitted_t
         # dedupes); this keeps per-poll cost constant over a long run.
         k_lo = max(k_lo, n_ms - 8 * step_p)
+        # Incremental horizon: epochs before the PREVIOUS poll's n_ms
+        # were already solved (and any re-emission is deduped anyway),
+        # so re-solving them is pure waste — measured ~7 redundant LSQ
+        # epochs per poll in the r5 bench. One step of overlap keeps
+        # the emitted solution grid seamless; a changed alignment base
+        # (slot churn moved the common start) falls back to the full
+        # trailing window.
+        if self._solved_horizon is not None:
+            h_common, h_n = self._solved_horizon
+            if h_common == common:
+                if h_n >= n_ms:
+                    return          # nothing new tracked since last solve
+                k_lo = max(k_lo, h_n - step_p)
+        self._solved_horizon = (common, n_ms)
         if n_ms - k_lo <= 0:
             return
         # Per channel: transmit time of the code start at ALIGNED index 0

@@ -138,6 +138,15 @@ class ChannelManager:
       source.wire_format when the source provides read_packed()
       (ops.unpack formats: 'iq8'/'iq4'/'sm2'/'iq1'), else the plain
       float/int array path.
+    mesh: a jax.sharding.Mesh — run the SAME receiver MULTI-CHIP:
+      the slot bank, tracking state, and every [C]-leaved device
+      buffer shard over mesh[mesh_axis] (channel parallelism, SURVEY
+      §2.8 DP slot), the sample chunk replicates, and the production
+      fused Pallas engine runs per-device under shard_map
+      (tracking.engines + parallel.fused_shard; the XLA scan engines
+      shard through GSPMD). n_channels must divide the axis size.
+      Tracking output is bit-exact vs the unsharded manager
+      (tests/test_parallel.py manager parity).
     """
 
     def __init__(self, source, cfg: ReceiverConfig,
@@ -152,7 +161,8 @@ class ChannelManager:
                  sync_every: int = 1, wire: str = "auto",
                  spread_budget_s: float = 900.0,
                  prefetch: bool = False, readback: str = "f32",
-                 history_window_ms: Optional[int] = None):
+                 history_window_ms: Optional[int] = None,
+                 mesh=None, mesh_axis: str = "channel"):
         self.source = source
         self.cfg = cfg
         self.sig = cfg.signal
@@ -209,12 +219,25 @@ class ChannelManager:
         C = cfg.n_channels
         self.slots = [Slot() for _ in range(C)]
         spc = self.sig.samples_per_code
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if mesh_axis not in ax:
+                raise ValueError(f"mesh has no axis {mesh_axis!r}")
+            if C % ax[mesh_axis]:
+                raise ValueError(
+                    f"n_channels {C} not divisible by mesh axis "
+                    f"{mesh_axis!r} size {ax[mesh_axis]}")
         # Production engine behind a per-family adapter: GPS-style 1 ms
         # codes (scan or fused Pallas), Galileo BOC double-estimator
         # (4 ms blocks), GLONASS L3 data+pilot — the SAME supervision
-        # loop drives all of them (tracking.engines).
+        # loop drives all of them (tracking.engines). With a mesh, the
+        # engine is the sharded multi-chip form (channels over
+        # mesh[mesh_axis]).
         from gnsstpu.tracking.engines import make_engine
-        self.eng = make_engine(cfg, engine)
+        self.eng = make_engine(cfg, engine, mesh=mesh,
+                               mesh_axis=mesh_axis)
         self.engine = self.eng.name
         if epoch_ms % self.eng.period_ms:
             raise ValueError(
@@ -223,6 +246,12 @@ class ChannelManager:
         self._bpe = epoch_ms // self.eng.period_ms   # blocks per epoch
         self._bank = self.eng.new_bank(C)
         self._state = self.eng.init_state(C)
+        if mesh is not None:
+            # Shard the carried tracking state over the channel axis
+            # from the start; every subsequent update (.at[].set slot
+            # writes, the jitted super-step) preserves the placement,
+            # so GSPMD partitions the whole receiver program.
+            self._state = jax.tree.map(self._put_dev, self._state)
         # Device-resident copy of the slot bank; slot swaps update rows
         # in place (re-uploading the fused phase-row tables every epoch
         # would dominate epoch wall time).
@@ -304,6 +333,22 @@ class ChannelManager:
         # program: on a high-RTT host<->device link, per-epoch dispatch
         # issue alone otherwise dominates the wall clock.
         self._super_steps: Dict[int, object] = {}
+
+    # --- device placement (single-chip or mesh-sharded) ---
+
+    def _put_dev(self, x) -> jax.Array:
+        """Device placement for a manager-owned buffer: on a mesh,
+        [C]-leading arrays shard over the channel axis, everything
+        else replicates; without a mesh, plain upload."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if x.ndim >= 1 and x.shape[0] == self.cfg.n_channels:
+            spec = P(self.mesh_axis, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     # --- slot control ---
 
@@ -440,11 +485,18 @@ class ChannelManager:
         if self.wire is not None:
             if not isinstance(buf, jax.Array):
                 buf = jax.device_put(np.asarray(buf))
-            return self._unpack_jit(buf)
-        chunk_dev = jnp.asarray(buf)
-        if chunk_dev.dtype != jnp.float32:
-            chunk_dev = chunk_dev.astype(jnp.float32)
-        return chunk_dev
+            out = self._unpack_jit(buf)
+        else:
+            out = jnp.asarray(buf)
+            if out.dtype != jnp.float32:
+                out = out.astype(jnp.float32)
+        if self.mesh is not None:
+            # Replicate the sample chunk across the mesh (channels need
+            # the full window; HBM cost is per-chip, like the
+            # reference's shared sample FIFO feeding all 12 channels).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            out = jax.device_put(out, NamedSharding(self.mesh, P()))
+        return out
 
     # --- acquisition scheduling (SV_Select::Acquire equivalent) ---
 
@@ -860,7 +912,7 @@ class ChannelManager:
         t_up0 = time.perf_counter()
         chunk_dev = self._to_device(buf)
         if self._bank_dev is None:
-            self._bank_dev = {key: jnp.asarray(v)
+            self._bank_dev = {key: self._put_dev(v)
                               for key, v in self._bank.items()}
         state = self._state._replace(
             corr=self._state.corr._replace(
@@ -1042,7 +1094,7 @@ class ChannelManager:
         epoch_ms0 = e0 * self.epoch_ms
         t0 = time.perf_counter()
         if self._bank_dev is None:
-            self._bank_dev = {key: jnp.asarray(v)
+            self._bank_dev = {key: self._put_dev(v)
                               for key, v in self._bank.items()}
         self._state, packed = self._get_super_step(k)(
             chunk.dev, self._bank_dev, self._state,
@@ -1101,11 +1153,12 @@ class ChannelManager:
         """Fetch-thread body: block on the superepoch's device->host
         readback (numpy materialization releases the GIL during the
         transfer wait, so this overlaps the main thread's dispatch +
-        supervision work)."""
-        packed_np = jax.tree.map(np.asarray, p.packed)
-        acq = (jax.tree.map(np.asarray, p.acq_fut)
-               if p.acq_fut is not None else None)
-        return packed_np, acq
+        supervision work). The packed buffer and the acq metrics fetch
+        as ONE device_get (each separate fetch pays its own round trip
+        on a high-RTT link), and the byte-unpack to canonical streams
+        also runs here, off the supervision thread."""
+        packed_np, acq = jax.device_get((p.packed, p.acq_fut))
+        return self._decode_readback(packed_np), acq
 
     def _run_pipelined(self, n_epochs: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
@@ -1260,12 +1313,12 @@ class ChannelManager:
         epoch_ms0 = p.e0 * self.epoch_ms
         t0 = time.perf_counter()
         if p.fetch is not None:
-            packed_np, acq = p.fetch.result()
+            (streams_k, stats_k), acq = p.fetch.result()
         else:
             packed_np = jax.tree.map(np.asarray, p.packed)
             acq = (jax.tree.map(np.asarray, p.acq_fut)
                    if p.acq_fut is not None else None)
-        streams_k, stats_k = self._decode_readback(packed_np)
+            streams_k, stats_k = self._decode_readback(packed_np)
         t1 = time.perf_counter()
         self.tlm.task_health(epoch_ms0, "track", p.t_disp,
                              engine=self.engine, n_active=p.n_active,

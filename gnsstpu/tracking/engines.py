@@ -54,21 +54,32 @@ class EpochObs(NamedTuple):
     qp2: Optional[jax.Array] = None
 
 
-def make_engine(cfg: ReceiverConfig, mode: str = "auto"):
+def make_engine(cfg: ReceiverConfig, mode: str = "auto", mesh=None,
+                mesh_axis: str = "channel"):
     """Resolve (signal family, engine mode) -> adapter instance.
 
     mode: 'auto' (fused Pallas kernel on TPU, exact scan elsewhere),
     'fused', or the family's scan modes ('gather'/'table' where they
     exist).
+
+    mesh: a jax Mesh — the engine becomes the MULTI-CHIP production
+    path, channels sharded over mesh[mesh_axis] (SURVEY §2.8 DP slot).
+    The fused Pallas kernel is wrapped per-device via shard_map
+    (parallel.fused_shard); the XLA scan engines shard through GSPMD
+    from the ChannelManager's input placements. The fused BOC/dual
+    kernels have no shard_map wrapper yet, so those families resolve
+    to their exact scan engines under a mesh.
     """
     from gnsstpu.tracking.driver import resolve_engine
 
     name = cfg.signal.signal
     if name == "galileo_e1b":
-        return BocEngine(cfg, fused=resolve_engine(mode) == "fused")
+        fused = resolve_engine(mode) == "fused" and mesh is None
+        return BocEngine(cfg, fused=fused)
     if name == "glonass_l3oc":
-        return DualEngine(cfg, fused=resolve_engine(mode) == "fused")
-    return ScanFamilyEngine(cfg, mode)
+        fused = resolve_engine(mode) == "fused" and mesh is None
+        return DualEngine(cfg, fused=fused)
+    return ScanFamilyEngine(cfg, mode, mesh=mesh, mesh_axis=mesh_axis)
 
 
 class _Base:
@@ -96,10 +107,13 @@ class ScanFamilyEngine(_Base):
 
     slot_keys = ("codes", "carr_base", "inv_aid")
 
-    def __init__(self, cfg: ReceiverConfig, mode: str = "auto"):
+    def __init__(self, cfg: ReceiverConfig, mode: str = "auto",
+                 mesh=None, mesh_axis: str = "channel"):
         super().__init__(cfg)
         from gnsstpu.tracking.driver import resolve_engine
 
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.name = resolve_engine(mode)
         if self.name == "fused":
             from gnsstpu.tracking.fused import fused_code_table
@@ -149,7 +163,22 @@ class ScanFamilyEngine(_Base):
             aid_div=self.cfg.track.aid_div)
 
     def make_step(self, n_blocks: int, interpret=None):
-        if self.name == "fused":
+        if self.name == "fused" and self.mesh is not None:
+            # Multi-chip production path: the SAME pallas_call on every
+            # device of mesh[axis], channels sharded, chunk replicated,
+            # zero steady-state collectives (parallel.fused_shard).
+            from gnsstpu.parallel.fused_shard import (
+                make_sharded_fused_tracker)
+            if interpret is None:
+                # Kernel mode follows the MESH's devices (a virtual CPU
+                # validation mesh needs the interpreter even when the
+                # default backend is a real TPU).
+                interpret = self.mesh.devices.flat[0].platform != "tpu"
+            tracker = make_sharded_fused_tracker(
+                self.sig, self.cfg.track, mesh=self.mesh,
+                n_blocks=n_blocks, axis=self.mesh_axis,
+                interpret=interpret)
+        elif self.name == "fused":
             from gnsstpu.tracking.fused import make_fused_tracker
             tracker = make_fused_tracker(
                 self.sig, self.cfg.track, n_blocks=n_blocks,

@@ -207,3 +207,69 @@ def test_timeblock_mm_fft_mode_matches_oracle():
         k_periods=k, fft_mode="mm"))
     scale = want.max()
     assert np.allclose(cube / scale, want / scale, atol=2e-3)
+
+
+def _mgr_parity_run(mesh, engine, n_ms=600):
+    """One ChannelManager run (pipelined superepochs, on-chunk reacq
+    armed) over a deterministic 3-SV signal; mesh=None is the
+    single-device control."""
+    import io
+
+    from gnsstpu.config import ReceiverConfig
+    from gnsstpu.runtime.manager import ChannelManager
+    from gnsstpu.runtime.sources import ArraySource
+    from gnsstpu.runtime.telemetry import Telemetry
+
+    sig = SignalConfig(if_freq=0.0, fs=2.048e6, complex_iq=True)
+    sats = [SatParams(prn=p, doppler_hz=300.0 * (p - 5),
+                      code_phase_chips=211.5 * p, cn0_dbhz=47.0)
+            for p in (2, 5, 9)]
+    sim = IFSimulator(sig, sats, noise_sigma=1.0, seed=13)
+    samples = np.asarray(sim.generate(n_ms + 60))
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(2, 5, 9), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0, el_spacing=0.3),
+        n_channels=4)
+    mgr = ChannelManager(
+        ArraySource(samples), cfg, telemetry=Telemetry(sink=io.StringIO()),
+        epoch_ms=100, reacq_period_ms=400, cn0_drop_dbhz=35.0,
+        prn_pool=[2, 5, 9, 17], sync_every=2, prefetch=True,
+        engine=engine, mesh=mesh)
+    recs = mgr.run(n_ms)
+    return mgr, recs
+
+
+@pytest.mark.parametrize("engine", ["gather", "fused"])
+def test_manager_mesh_matches_unsharded(engine):
+    """ChannelManager(mesh=...) is a FIRST-CLASS capability: the public
+    constructor shards the slot bank + tracking state over the channel
+    axis (fused engine via shard_map per device, scan engines via
+    GSPMD) and the full pipelined receiver run — acquisition handoff,
+    superepoch scans, on-chunk reacquisition, supervision — produces
+    BIT-EXACT records and prompt streams vs the unsharded manager
+    (SURVEY §4(d): sharded-vs-unsharded parity is the framework's own
+    test obligation)."""
+    n_ms = 400 if engine == "fused" else 600
+    mesh = make_mesh([("channel", 2)])
+    m1, r1 = _mgr_parity_run(None, engine, n_ms)
+    m2, r2 = _mgr_parity_run(mesh, engine, n_ms)
+
+    assert len(r1) == len(r2) > 0
+    for a, b in zip(r1, r2):
+        assert np.array_equal(a.prn, b.prn)
+        assert np.array_equal(a.cn0_dbhz, b.cn0_dbhz)
+        assert np.array_equal(a.pll_lock, b.pll_lock)
+        assert np.array_equal(a.doppler_hz, b.doppler_hz)
+    live = [int(p) for p in r1[-1].prn if p]
+    assert len(live) >= 2 and set(live) <= {2, 5, 9}
+    for prn in live:
+        s1 = m1.prompt_stream(prn)
+        s2 = m2.prompt_stream(prn)
+        for key in ("i_p", "q_p", "carr_doppler", "abs_sample",
+                    "carr_cycles"):
+            assert np.array_equal(s1[key], s2[key]), (prn, key)
+    # The sharded run really placed state on the mesh.
+    sp = m2._state.corr.sample_pos
+    assert getattr(sp.sharding, "mesh", None) is not None

@@ -112,6 +112,9 @@ class _Inflight:
     # supervision instead of stalling the harvest (copy_to_host_async
     # alone is not proactively drained by every transport).
     fetch: object = None
+    # Stream base the acq metrics' code_phase is measured against (the
+    # chunk base, or the weak accumulation's FIRST chunk base).
+    acq_base: int = 0
 
 
 @dataclasses.dataclass
@@ -306,6 +309,15 @@ class ChannelManager:
                 lambda p: _unpack.unpack(p, self.wire))
         self._acq_chunk_fn = None   # lazy jitted on-chunk acq program
         self._acq_offs = None       # FDMA channel offsets (on-chunk acq)
+        # Cross-superepoch weak-tier accumulation (VERDICT r4 item 3):
+        # when the configured noncoherent search needs more samples
+        # than one superepoch chunk holds (the reference buffers
+        # 310 ms to make weak searches routine, acquisition.cpp:95),
+        # a [P(or K), D, spc] partial-sum cube persists in HBM and
+        # each uploaded chunk's windows accumulate into it — the weak
+        # search rides the prefetch pipeline, zero host-path reads.
+        self._acq_wk = None         # {"cube", "done", "base0"}
+        self._acq_wk_fns = False    # lazy (accum, finish, B, B_c, need)
         # Fixed superepoch chunk / per-epoch window geometry: one
         # compiled tracker program regardless of sync_every or tail
         # length. The tracker sees only its epoch's window (the fused
@@ -629,6 +641,117 @@ class ChannelManager:
         return ((B - 1) * self.cfg.acq.coherent_ms * spc
                 + fft_acquire.window_len(spc, self.cfg.acq.coherent_ms))
 
+    # --- cross-superepoch weak-tier acquisition ---
+
+    def _make_acq_wk(self):
+        """Lazy-build the weak-tier accumulation programs: one jitted
+        partial noncoherent accumulate per chunk (B_c windows summed
+        into the persistent device cube, code-phase axis rolled into
+        the accumulation's base frame) and one jitted finisher
+        (peak_metrics over the summed cube). Returns None when the
+        config cannot accumulate (not a sum-combined tier, or the
+        chunk cannot hold even one coherent window)."""
+        if self._acq_wk_fns is not False:
+            return self._acq_wk_fns
+        from gnsstpu.acquisition.search import _windows_of
+        from gnsstpu.ops import fft_acquire
+
+        acq = self.cfg.acq
+        sig = self.sig
+        spc = sig.samples_per_code
+        B, combine = _windows_of(acq)
+        L = acq.coherent_ms * spc
+        Lw = fft_acquire.window_len(spc, acq.coherent_ms)
+        B_c = min(B, (self._chunk_len - Lw) // L + 1)
+        if combine != "sum" or B_c < 1:
+            self._acq_wk_fns = None
+            return None
+        need = (B_c - 1) * L + Lw      # samples one accumulate reads
+        fd_re, fd_im = fft_acquire.code_fd_table(
+            sig.signal, sig.fs, sig.code_freq, sig.code_length,
+            acq.coherent_ms)
+        fdma = self.sd.fdma_zero_prn is not None
+        if fdma:
+            fd_re, fd_im = fd_re[:1], fd_im[:1]
+            carr_all = np.array([self.sd.carrier_freq(p)
+                                 for p in range(1, self.sd.num_prn + 1)])
+            offs = carr_all - self.sd.carrier_freq(self.sd.fdma_zero_prn)
+            dopp = fft_acquire.doppler_grid(
+                0.0, acq.doppler_band, acq.doppler_bin_step())
+            grid = (sig.if_freq + offs[:, None]
+                    + dopp[None, :]).reshape(-1)
+            K, D = self.sd.num_prn, len(dopp)
+            self._acq_offs = offs
+        else:
+            dopp = fft_acquire.doppler_grid(
+                sig.if_freq, acq.doppler_band, acq.doppler_bin_step())
+            grid = dopp
+            K, D = 0, len(dopp)
+            self._acq_offs = None
+        self._acq_doppler = dopp
+        fd_re = jnp.asarray(fd_re)
+        fd_im = jnp.asarray(fd_im)
+        grid_dev = jnp.asarray(grid, jnp.float32)
+        spchip = round(sig.fs / sig.code_freq)
+
+        @jax.jit
+        def accum(chunk, cube, roll):
+            blocks = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(chunk, k * L, Lw)
+                 for k in range(B_c)])
+            part = fft_acquire.acquire_cube(
+                blocks, fd_re, fd_im, grid_dev, sig.fs, spc,
+                combine="sum")
+            if fdma:
+                part = part.reshape(K, D, spc)
+            # Later chunks start at a different stream base: rotate the
+            # code-phase axis into the FIRST chunk's frame so the sums
+            # align (a peak for code start s sits at (s - base) mod spc).
+            part = jnp.roll(part, roll, axis=-1)
+            return cube + part
+
+        @jax.jit
+        def finish(cube):
+            m = fft_acquire.peak_metrics(
+                cube, samples_per_code=spc, samples_per_chip=spchip)
+            return jnp.stack([m["metric"],
+                              m["code_phase"].astype(jnp.float32),
+                              m["doppler_bin"].astype(jnp.float32)])
+
+        self._acq_wk_fns = (accum, finish, B, B_c, need)
+        return self._acq_wk_fns
+
+    def _wk_step(self, chunk_dev, base: int, need_len: int):
+        """Advance the cross-superepoch weak search by one chunk.
+        Returns ('unsupported', None, 0) | ('pending', None, 0) |
+        ('done', metrics_fut [3, P], base0)."""
+        fns = self._make_acq_wk()
+        if fns is None:
+            return ("unsupported", None, 0)
+        accum, finish, B, B_c, need = fns
+        if need_len < need:
+            # Tail/short chunk: pause, keep the accumulated cube.
+            return ("pending", None, 0)
+        spc = self.sig.samples_per_code
+        if self._acq_wk is None:
+            # Cube rows: every PRN (CDMA code bank) or every frequency
+            # channel (FDMA), both = sd.num_prn.
+            self._acq_wk = {
+                "cube": jnp.zeros(
+                    (self.sd.num_prn, len(self._acq_doppler), spc),
+                    jnp.float32),
+                "done": 0, "base0": int(base)}
+        wk = self._acq_wk
+        roll = np.int32((int(base) - wk["base0"]) % spc)
+        wk["cube"] = accum(chunk_dev, wk["cube"], roll)
+        wk["done"] += B_c
+        if wk["done"] >= B:
+            fut = finish(wk["cube"])
+            base0 = wk["base0"]
+            self._acq_wk = None
+            return ("done", fut, base0)
+        return ("pending", None, 0)
+
     def _host_samples(self, start: int, count: int) -> np.ndarray:
         """f32 [count, 2] host samples, served from the retained chunk
         buffer when it covers the request (the live loop must not pay an
@@ -683,10 +806,14 @@ class ChannelManager:
             k_ms = acq.fine_doppler_ms
             win = self._host_samples(base, (k_ms + 1) * self.sig.
                                      samples_per_code + 64)
-            for i in np.nonzero(detected)[0]:
-                carr[i] = refine_doppler(
-                    win, self.sig, int(i) + 1, int(code_phase[i]),
-                    carr[i], k_ms=k_ms)
+            # A weak cross-superepoch search's base can predate the
+            # retained chunk AND a live stream's replay window: skip
+            # refinement rather than refine against zeros.
+            if np.any(win):
+                for i in np.nonzero(detected)[0]:
+                    carr[i] = refine_doppler(
+                        win, self.sig, int(i) + 1, int(code_phase[i]),
+                        carr[i], k_ms=k_ms)
         # The search measured code phase in THIS superepoch's chunk, but
         # the slot starts tracking at `head` — advance the handoff by
         # whole code periods. Each skipped code period spans
@@ -928,22 +1055,32 @@ class ChannelManager:
         self._state = state
 
         acq_fut = None
+        acq_base = base
         acq_host_fallback = False
         want = self._want_prns()
         have_idle = any(s.state is SlotState.IDLE for s in self.slots)
-        if acq_due and want and have_idle:
+        if (acq_due or self._acq_wk is not None) and want and have_idle:
             if need_len >= self._acq_samples_needed_chunk():
                 if self._acq_chunk_fn is None:
                     self._acq_chunk_fn = self._make_acq_chunk_fn()
                 acq_fut = self._acq_chunk_fn(chunk_dev)
             else:
-                # Chunk too short for the configured search (e.g. a long
-                # weak-tier window): fall back to the host-path search
-                # after supervision rather than silently never
-                # reacquiring.
-                acq_host_fallback = True
-            self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
-        elif acq_due:
+                # Chunk too short for the configured search (a long
+                # weak-tier window): accumulate noncoherent windows
+                # across consecutive superepoch chunks ON DEVICE
+                # (reference 310 ms buffered weak search,
+                # acquisition.cpp:95-107); once the accumulation
+                # completes, place slots from the summed cube. Only a
+                # config that cannot accumulate at all (non-sum tier)
+                # still pays the host-path search.
+                st, fut, b0 = self._wk_step(chunk_dev, base, need_len)
+                if st == "done":
+                    acq_fut, acq_base = fut, b0
+                elif st == "unsupported":
+                    acq_host_fallback = acq_due
+        elif not (want and have_idle):
+            self._acq_wk = None
+        if acq_due:
             self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
 
         # Bulk readback: K epochs packed into two device arrays = one
@@ -1000,7 +1137,7 @@ class ChannelManager:
                              time.perf_counter() - t_sup0)
 
         if acq_fut is not None:
-            self._finish_chunk_acq(acq_fut, want, base,
+            self._finish_chunk_acq(acq_fut, want, acq_base,
                                    (e0 + k) * self.epoch_ms)
         elif acq_host_fallback:
             t0 = time.perf_counter()
@@ -1103,9 +1240,11 @@ class ChannelManager:
         for leaf in jax.tree.leaves(packed):
             leaf.copy_to_host_async()
         acq_fut = None
+        acq_base = chunk.base
         acq_host = False
         want = []
-        if epoch_ms0 >= self._next_reacq_ms:
+        acq_due = epoch_ms0 >= self._next_reacq_ms
+        if acq_due or self._acq_wk is not None:
             want = self._want_prns()
             have_idle = any(s.state is SlotState.IDLE
                             for s in self.slots)
@@ -1118,8 +1257,22 @@ class ChannelManager:
                     for leaf in jax.tree.leaves(acq_fut):
                         leaf.copy_to_host_async()
                 else:
-                    acq_host = True
-            self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
+                    # Weak tier: accumulate this chunk's windows into
+                    # the persistent device cube; the search completes
+                    # (and places slots) once enough noncoherent
+                    # windows summed — still zero host-path reads.
+                    st, fut, b0 = self._wk_step(
+                        chunk.dev, chunk.base, chunk.need_len)
+                    if st == "done":
+                        acq_fut, acq_base = fut, b0
+                        for leaf in jax.tree.leaves(acq_fut):
+                            leaf.copy_to_host_async()
+                    elif st == "unsupported":
+                        acq_host = acq_due
+            else:
+                self._acq_wk = None
+            if acq_due:
+                self._next_reacq_ms = epoch_ms0 + self.reacq_period_ms
         n_active = sum(s.state is not SlotState.IDLE
                        for s in self.slots)
         return _Inflight(e0=e0, k=k, base=chunk.base, packed=packed,
@@ -1127,7 +1280,8 @@ class ChannelManager:
                          acq_host=acq_host, buf=chunk.buf,
                          n_active=n_active, t_read=chunk.t_read,
                          t_up=chunk.t_up,
-                         t_disp=time.perf_counter() - t0)
+                         t_disp=time.perf_counter() - t0,
+                         acq_base=acq_base)
 
     def _next_base(self, active: list, la: int, k: int,
                    det: int) -> int:
@@ -1370,7 +1524,7 @@ class ChannelManager:
         self.tlm.task_health(epoch_ms0, "assess",
                              time.perf_counter() - t1)
         if acq is not None:
-            self._finish_chunk_acq(acq, p.acq_want, p.base, alloc_ms,
+            self._finish_chunk_acq(acq, p.acq_want, p.acq_base, alloc_ms,
                                    head=next_base)
         elif p.acq_host:
             t2 = time.perf_counter()

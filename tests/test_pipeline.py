@@ -224,20 +224,19 @@ def test_pipelined_chunk_reacquisition():
     assert abs(last.doppler_hz[i12] + 1500.0) < 5.0
 
 
-def test_reacq_host_fallback_when_chunk_too_short():
-    """A weak-tier acquisition window longer than the superepoch chunk
-    cannot ride the device chunk; reacquisition must FALL BACK to the
-    host-path search instead of silently never searching again
-    (code-review regression)."""
+def test_weak_reacq_accumulates_across_superepochs():
+    """A weak-tier (10 ms x 15 noncoherent, the reference's 310 ms
+    buffered search, acquisition.cpp:433) whose window exceeds one
+    superepoch chunk accumulates its noncoherent sum cube ON DEVICE
+    across consecutive uploaded chunks (VERDICT r4 item 3): after the
+    cold start, the late SV is found with ZERO host-path searches —
+    no extra source reads or uploads, ever."""
     from gnsstpu.acquisition.search import acq_samples_needed
 
     src = LateSvSource(SIG, SATS, 1600, switch_ms=400)
-    # The reference weak tier (10 ms coherent x 15 noncoherent,
-    # acquisition.cpp:433) needs ~310 ms of samples — longer than a
-    # 100 ms superepoch chunk.
     cfg = ReceiverConfig(
         signal=SIG,
-        acq=AcqConfig(doppler_band=2e3, coherent_ms=10, noncoherent=15,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=10, noncoherent=15,
                       threshold=1.8, prn_list=(5, 12),
                       fine_doppler_ms=10, doppler_step=100.0),
         track=TrackConfig(dll_bw=1.0),
@@ -250,14 +249,102 @@ def test_reacq_host_fallback_when_chunk_too_short():
         sync_every=1)
     assert mgr._chunk_len < acq_samples_needed(SIG, cfg.acq)
     recs = mgr.run(1400)
-    evs = [json.loads(l) for l in sink.getvalue().splitlines()
-           if '"event"' in l]
-    starts = [e for e in evs if e["what"] == "channel_start"]
-    # PRN 5 acquired cold at 0; PRN 12 appears at 400 ms and must be
-    # picked up by the HOST-path fallback search while 5 tracks.
+    lines = [json.loads(l) for l in sink.getvalue().splitlines()]
+    starts = [e for e in lines if e.get("what") == "channel_start"]
+    # PRN 5 acquired cold at 0 (host path: nothing was tracking, so
+    # there is no chunk to ride); PRN 12 appears at 400 ms and is
+    # picked up by the CROSS-SUPEREPOCH device accumulation while 5
+    # tracks — the only host-path search of the whole run is epoch 0.
     assert any(s["prn"] == 5 and s["epoch_ms"] == 0 for s in starts)
     late = [s for s in starts if s["prn"] == 12]
     assert late and late[0]["epoch_ms"] >= 400
+    host_acq = [e for e in lines if e.get("stage") == "acquire"]
+    assert len(host_acq) == 1 and host_acq[0]["epoch_ms"] == 0
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+    i12 = list(last.prn).index(12)
+    assert abs(last.doppler_hz[i12] + 1500.0) < 8.0
+
+
+def test_weak_fdma_reacq_accumulates_pipelined():
+    """FDMA mirror of the weak-tier accumulation, on the PREFETCH
+    pipeline: a GLONASS noncoherent search wider than the superepoch
+    chunk completes from chunk-riding partial sums with zero host-path
+    searches after cold start."""
+    from gnsstpu.acquisition.search import acq_samples_needed
+
+    sig = SignalConfig(signal="glonass_l1of", if_freq=0.0, fs=4.096e6,
+                       code_freq=0.511e6, code_length=511,
+                       fdma_step=562.5e3, complex_iq=True)
+    step = 562.5e3
+    sats = [
+        SatParams(prn=5, doppler_hz=1100.0, if_offset_hz=-3 * step,
+                  code_phase_chips=120.5, cn0_dbhz=47.0),
+        SatParams(prn=12, doppler_hz=-1700.0, if_offset_hz=4 * step,
+                  code_phase_chips=333.25, cn0_dbhz=46.0),
+    ]
+    src = LateSvSource(sig, sats, 1700, switch_ms=400)
+    cfg = ReceiverConfig(
+        signal=sig,
+        acq=AcqConfig(doppler_band=5e3, coherent_ms=4, noncoherent=15,
+                      threshold=1.8, prn_list=(5, 12),
+                      fine_doppler_ms=10, doppler_step=125.0),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=3,
+    )
+    sink = io.StringIO()
+    mgr = ChannelManager(
+        src, cfg, telemetry=Telemetry(sink=sink), epoch_ms=20,
+        reacq_period_ms=300, cn0_drop_dbhz=35.0, prn_pool=[5, 12],
+        sync_every=2, prefetch=True)
+    assert mgr._chunk_len < acq_samples_needed(sig, cfg.acq)
+    recs = mgr.run(1600)
+    lines = [json.loads(l) for l in sink.getvalue().splitlines()]
+    starts = [e for e in lines if e.get("what") == "channel_start"]
+    assert any(s["prn"] == 5 and s["epoch_ms"] == 0 for s in starts)
+    late = [s for s in starts if s["prn"] == 12]
+    assert late and late[0]["epoch_ms"] >= 400
+    host_acq = [e for e in lines if e.get("stage") == "acquire"]
+    assert len(host_acq) == 1 and host_acq[0]["epoch_ms"] == 0
+    last = recs[-1]
+    live = {int(p) for p in last.prn if p}
+    assert live == {5, 12}
+
+
+def test_reacq_host_fallback_unsupported_tier():
+    """The host-path fallback safety net still exists for a search the
+    chunk can never serve: a MAX-combined (bit-dodge) window set wider
+    than the chunk cannot accumulate across chunks (max is not
+    stream-splittable the way the noncoherent sum is), so the manager
+    pays the host read rather than silently never searching again."""
+    from gnsstpu.acquisition.search import acq_samples_needed
+
+    src = LateSvSource(SIG, SATS, 1600, switch_ms=400)
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=30, n_windows=2,
+                      threshold=1.6, prn_list=(5, 12),
+                      fine_doppler_ms=10, doppler_step=30.0),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=3,
+    )
+    sink = io.StringIO()
+    mgr = ChannelManager(
+        src, cfg, telemetry=Telemetry(sink=sink), epoch_ms=25,
+        reacq_period_ms=500, cn0_drop_dbhz=35.0, prn_pool=[5, 12],
+        sync_every=1)
+    assert mgr._chunk_len < acq_samples_needed(SIG, cfg.acq)
+    recs = mgr.run(1400)
+    lines = [json.loads(l) for l in sink.getvalue().splitlines()]
+    starts = [e for e in lines if e.get("what") == "channel_start"]
+    assert any(s["prn"] == 5 and s["epoch_ms"] == 0 for s in starts)
+    late = [s for s in starts if s["prn"] == 12]
+    assert late and late[0]["epoch_ms"] >= 400
+    # The late SV was found by the HOST fallback (an 'acquire' timer
+    # after epoch 0 proves the fallback fired).
+    host_acq = [e for e in lines if e.get("stage") == "acquire"]
+    assert any(e["epoch_ms"] > 0 for e in host_acq)
     last = recs[-1]
     live = {int(p) for p in last.prn if p}
     assert live == {5, 12}

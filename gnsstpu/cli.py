@@ -173,13 +173,23 @@ def cmd_track(args) -> int:
                 seed_pos, seed_t = vals[:3], vals[3]
             navr.load_assist(args.assist, seed_pos=seed_pos,
                              seed_t=seed_t)
+    mesh = None
+    if getattr(args, "mesh", None):
+        # Multi-chip receiver: '--mesh channel=4' (or 'channel=2,time=2')
+        # builds a jax Mesh and the manager shards the slot bank +
+        # tracking state over the channel axis (ChannelManager mesh=).
+        from gnsstpu.parallel import make_mesh
+        axes = [(kv.split("=")[0], int(kv.split("=")[1]))
+                for kv in args.mesh.split(",")]
+        mesh = make_mesh(axes)
     mgr = ChannelManager(src, cfg, telemetry=tlm,
                          epoch_ms=args.epoch_ms, commands=bus,
                          engine=args.engine, navigator=navr,
                          sync_every=args.sync_every,
                          prefetch=args.prefetch,
                          readback=args.readback,
-                         history_window_ms=args.history_window_ms)
+                         history_window_ms=args.history_window_ms,
+                         mesh=mesh)
     if args.resume:
         mgr.restore_checkpoint(args.resume)
     if args.profile:
@@ -418,6 +428,11 @@ def main(argv=None) -> int:
                         "this TCP port (monitor remotely with "
                         "`gnsstpu monitor tcp://HOST:PORT "
                         "--interactive`); 0 = OS-assigned")
+    p.add_argument("--mesh", default=None, metavar="AXIS=N[,AXIS=N]",
+                   help="run the receiver sharded over a device mesh, "
+                        "e.g. 'channel=4' (channels divide over chips; "
+                        "production fused engine runs per-device via "
+                        "shard_map)")
     p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("solve", help="full chain to a position fix")

@@ -111,7 +111,42 @@ def cmd_track(args) -> int:
     cfg = ReceiverConfig(signal=sig, acq=_acq_config(args),
                          track=TrackConfig(dll_bw=args.dll_bw),
                          n_channels=args.channels)
-    if args.stream:
+    if getattr(args, "listen", None):
+        # Network front end (docs/RADIO_FRONTEND.md): a radio process
+        # writes IF bytes to this port; packed ops.unpack formats ride
+        # the FIFO untouched and unpack on device.
+        from gnsstpu import native
+        from gnsstpu.ops import unpack as up
+        from gnsstpu.runtime.sources import (PackedStreamSource,
+                                             SocketStreamProducer,
+                                             StreamSource,
+                                             TcpStreamProducer)
+        proto, _, port = args.listen.partition(":")
+        if proto not in ("tcp", "udp"):
+            raise SystemExit(f"--listen {args.listen!r}: use tcp:PORT "
+                             "or udp:PORT")
+        fmt = args.listen_fmt
+        raw = fmt in up.WIRE_FORMATS
+        blk = sig.samples_per_code
+        blk_bytes = up.wire_bytes(fmt, blk) if raw else blk * 8
+        fifo = native.RingFifo(depth=1024, block_bytes=blk_bytes)
+        cls = TcpStreamProducer if proto == "tcp" \
+            else SocketStreamProducer
+        prod = cls(fifo, blk, fmt=fmt, raw=raw, host="0.0.0.0",
+                   port=int(port or 0), timeout_s=30.0).start()
+        print(f"listening for IF samples on {proto}://0.0.0.0:"
+              f"{prod.port} ({fmt}{', device unpack' if raw else ''})",
+              file=sys.stderr)
+        if raw:
+            src = PackedStreamSource(fifo, blk, fmt=fmt,
+                                     history_blocks=1024,
+                                     timeout_s=30.0)
+        else:
+            src = StreamSource(fifo, blk, history_blocks=1024,
+                               timeout_s=30.0)
+    elif args.file is None:
+        raise SystemExit("track: provide an IF FILE or --listen")
+    elif args.stream:
         # Live pipeline: producer thread -> native ring FIFO ->
         # StreamSource (reference FIFO/GPS_Source fabric,
         # objects/fifo.cpp:53-187, gps_source.cpp:135).
@@ -354,7 +389,18 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_acquire)
 
     p = sub.add_parser("track", help="acquire + track with the manager")
-    p.add_argument("file")
+    p.add_argument("file", nargs="?", default=None,
+                   help="IF sample file (omit with --listen)")
+    p.add_argument("--listen", default=None, metavar="tcp:PORT|udp:PORT",
+                   help="ingest IF samples from a network front end "
+                        "instead of a file (byte protocol: "
+                        "docs/RADIO_FRONTEND.md); port 0 = OS-assigned, "
+                        "printed at start")
+    p.add_argument("--listen-fmt", default="i8_iq",
+                   help="wire format of the listened stream: decoded "
+                        "host formats i8_iq/i16_iq/c64/i8/gn3s_2bit, or "
+                        "packed iq8/iq4/sm2/iq1 (shipped packed, "
+                        "unpacked ON DEVICE — the production live path)")
     _sig_args(p)
     _acq_args(p)
     p.add_argument("--ms", type=int, default=5000)

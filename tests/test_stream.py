@@ -390,3 +390,55 @@ def test_tcp_stream_to_manager():
     assert 6 in {int(p) for p in last.prn if p}
     i6 = list(last.prn).index(6)
     assert abs(last.doppler_hz[i6] + 1100.0) < 5.0
+
+
+def test_cli_listen_tcp_tracks():
+    """CLI surface of the radio seam (docs/RADIO_FRONTEND.md):
+    `gnsstpu track --listen tcp:0 --listen-fmt sm2` ingests packed
+    2-bit IF bytes from a TCP sender (the radio-process stand-in) and
+    tracks — the full network front end driven end-to-end from the
+    command line."""
+    import socket
+    import subprocess
+    import sys
+
+    from gnsstpu.ops import unpack as up
+
+    sats = [SatParams(prn=6, doppler_hz=-1100.0, code_phase_chips=512.5,
+                      cn0_dbhz=47.0)]
+    n_ms = 900
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=12)
+    samples = np.asarray(sim.generate(n_ms + 40))
+    wire = up.pack(samples, "sm2", scale=1.0)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "gnsstpu", "track",
+         "--listen", "tcp:0", "--listen-fmt", "sm2",
+         "--fs", "2.048e6", "--if-freq", "0", "--ms", "800",
+         "--band", "6e3", "--coherent", "2", "--threshold", "2.4",
+         "--channels", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo")
+    try:
+        port = None
+        for _ in range(50):
+            line = proc.stderr.readline()
+            if "listening for IF samples" in line:
+                port = int(line.split(":")[-1].split()[0].rstrip(")"))
+                break
+        assert port, "no listening banner"
+
+        def send():
+            tx = socket.create_connection(("127.0.0.1", port),
+                                          timeout=10)
+            tx.sendall(wire.tobytes())
+            tx.close()
+
+        t = threading.Thread(target=send, daemon=True)
+        t.start()
+        out, err = proc.communicate(timeout=560)
+        assert proc.returncode == 0, err
+        assert "live PRNs at end: [6]" in out, (out, err)
+    finally:
+        if proc.poll() is None:
+            proc.kill()

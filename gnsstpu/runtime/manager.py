@@ -1061,6 +1061,9 @@ class ChannelManager:
         have_idle = any(s.state is SlotState.IDLE for s in self.slots)
         if (acq_due or self._acq_wk is not None) and want and have_idle:
             if need_len >= self._acq_samples_needed_chunk():
+                # Full search fits this chunk: any in-progress weak
+                # accumulation is obsolete (its base would go stale).
+                self._acq_wk = None
                 if self._acq_chunk_fn is None:
                     self._acq_chunk_fn = self._make_acq_chunk_fn()
                 acq_fut = self._acq_chunk_fn(chunk_dev)
@@ -1251,6 +1254,7 @@ class ChannelManager:
             if want and have_idle:
                 if (chunk.need_len
                         >= self._acq_samples_needed_chunk()):
+                    self._acq_wk = None
                     if self._acq_chunk_fn is None:
                         self._acq_chunk_fn = self._make_acq_chunk_fn()
                     acq_fut = self._acq_chunk_fn(chunk.dev)

@@ -335,6 +335,32 @@ def cmd_monitor(args) -> int:
         return (board.render_all() if args.page == "all"
                 else board.render(args.page))
 
+    from gnsstpu.runtime.remote import parse_tcp_url
+    tcp = parse_tcp_url(args.log)
+    if tcp is not None:
+        # Remote receiver: follow the live socket feed (one-shot
+        # renders need a log file; the socket has no history).
+        if not args.follow:
+            raise SystemExit(
+                "monitor tcp:// is a live feed — add --follow (or "
+                "--interactive for the full station)")
+        from gnsstpu.runtime.remote import StationSocket
+        link = StationSocket(*tcp)
+        try:
+            while True:
+                for line in link.read_lines():
+                    try:
+                        board.update(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+                print("\033[2J\033[H" + show(), flush=True)
+                if link.closed:
+                    print("-- receiver closed the link", flush=True)
+                    return 0
+                _time.sleep(args.interval)
+        except KeyboardInterrupt:
+            return 0
+
     if not args.follow:
         board.feed_jsonl(args.log)
         print(show())

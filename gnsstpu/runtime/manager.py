@@ -565,26 +565,22 @@ class ChannelManager:
                         code_phase=base + float(res.code_phase[i]),
                         doppler_hz=dopp, epoch_ms=epoch_ms)
 
-    def _make_acq_chunk_fn(self):
-        """Jitted cold-search over the leading window of an already
-        uploaded device chunk — the pipelined path's reacquisition rides
-        the superepoch's transfer instead of paying its own.
+    def _acq_grid(self):
+        """Search-grid geometry shared by the on-chunk search and the
+        weak-tier accumulator — ONE construction site so the
+        code_phase/doppler_bin interpretation in _finish_chunk_acq can
+        never desynchronize between the two paths.
 
         CDMA: all-PRN code bank against the Doppler grid. FDMA
         (GLONASS L1/L2): one shared code row against the flattened
         channel x Doppler carrier grid (acquisition.search.acquire_fdma
-        semantics, reference GLONASS/L1/acquisition.sci:95-193), so a
-        live FDMA run's scheduled searches also ride the uploaded chunk
-        instead of paying a separate host read + upload each."""
-        from gnsstpu.acquisition.search import _windows_of
+        semantics, reference GLONASS/L1/acquisition.sci:95-193).
+        Sets the self._acq_offs / self._acq_doppler side channel and
+        returns (fd_re, fd_im, grid_dev, fdma, K, D, spchip)."""
         from gnsstpu.ops import fft_acquire
 
         acq = self.cfg.acq
         sig = self.sig
-        spc = sig.samples_per_code
-        B, combine = _windows_of(acq)
-        L = acq.coherent_ms * spc
-        Lw = fft_acquire.window_len(spc, acq.coherent_ms)
         fd_re, fd_im = fft_acquire.code_fd_table(
             sig.signal, sig.fs, sig.code_freq, sig.code_length,
             acq.coherent_ms)
@@ -598,17 +594,33 @@ class ChannelManager:
                 0.0, acq.doppler_band, acq.doppler_bin_step())
             grid = (sig.if_freq + offs[:, None]
                     + dopp[None, :]).reshape(-1)
-            K, D = self.sd.num_prn, len(dopp)
             self._acq_offs = offs
         else:
             dopp = fft_acquire.doppler_grid(
                 sig.if_freq, acq.doppler_band, acq.doppler_bin_step())
             grid = dopp
             self._acq_offs = None
-        fd_re = jnp.asarray(fd_re)
-        fd_im = jnp.asarray(fd_im)
-        grid_dev = jnp.asarray(grid, jnp.float32)
-        spchip = round(sig.fs / sig.code_freq)
+        self._acq_doppler = dopp
+        return (jnp.asarray(fd_re), jnp.asarray(fd_im),
+                jnp.asarray(grid, jnp.float32), fdma,
+                self.sd.num_prn, len(dopp),
+                round(sig.fs / sig.code_freq))
+
+    def _make_acq_chunk_fn(self):
+        """Jitted cold-search over the leading window of an already
+        uploaded device chunk — the pipelined path's reacquisition rides
+        the superepoch's transfer instead of paying its own (grid
+        semantics: _acq_grid)."""
+        from gnsstpu.acquisition.search import _windows_of
+        from gnsstpu.ops import fft_acquire
+
+        acq = self.cfg.acq
+        sig = self.sig
+        spc = sig.samples_per_code
+        B, combine = _windows_of(acq)
+        L = acq.coherent_ms * spc
+        Lw = fft_acquire.window_len(spc, acq.coherent_ms)
+        fd_re, fd_im, grid_dev, fdma, K, D, spchip = self._acq_grid()
 
         @jax.jit
         def search(chunk):
@@ -629,7 +641,6 @@ class ChannelManager:
                               m["code_phase"].astype(jnp.float32),
                               m["doppler_bin"].astype(jnp.float32)])
 
-        self._acq_doppler = dopp
         return search
 
     def _acq_samples_needed_chunk(self) -> int:
@@ -667,32 +678,7 @@ class ChannelManager:
             self._acq_wk_fns = None
             return None
         need = (B_c - 1) * L + Lw      # samples one accumulate reads
-        fd_re, fd_im = fft_acquire.code_fd_table(
-            sig.signal, sig.fs, sig.code_freq, sig.code_length,
-            acq.coherent_ms)
-        fdma = self.sd.fdma_zero_prn is not None
-        if fdma:
-            fd_re, fd_im = fd_re[:1], fd_im[:1]
-            carr_all = np.array([self.sd.carrier_freq(p)
-                                 for p in range(1, self.sd.num_prn + 1)])
-            offs = carr_all - self.sd.carrier_freq(self.sd.fdma_zero_prn)
-            dopp = fft_acquire.doppler_grid(
-                0.0, acq.doppler_band, acq.doppler_bin_step())
-            grid = (sig.if_freq + offs[:, None]
-                    + dopp[None, :]).reshape(-1)
-            K, D = self.sd.num_prn, len(dopp)
-            self._acq_offs = offs
-        else:
-            dopp = fft_acquire.doppler_grid(
-                sig.if_freq, acq.doppler_band, acq.doppler_bin_step())
-            grid = dopp
-            K, D = 0, len(dopp)
-            self._acq_offs = None
-        self._acq_doppler = dopp
-        fd_re = jnp.asarray(fd_re)
-        fd_im = jnp.asarray(fd_im)
-        grid_dev = jnp.asarray(grid, jnp.float32)
-        spchip = round(sig.fs / sig.code_freq)
+        fd_re, fd_im, grid_dev, fdma, K, D, spchip = self._acq_grid()
 
         @jax.jit
         def accum(chunk, cube, roll):
@@ -807,9 +793,15 @@ class ChannelManager:
             win = self._host_samples(base, (k_ms + 1) * self.sig.
                                      samples_per_code + 64)
             # A weak cross-superepoch search's base can predate the
-            # retained chunk AND a live stream's replay window: skip
-            # refinement rather than refine against zeros.
-            if np.any(win):
+            # retained chunk AND a live stream's replay window, whose
+            # read zero-fills the evicted part. Refining against a
+            # PARTIALLY zero-filled window corrupts the Doppler (worse
+            # than the coarse bin), so require essentially full sample
+            # coverage before refining (noise samples are never
+            # exactly 0+0j; fill is).
+            covered = np.count_nonzero(
+                np.abs(win).sum(axis=1)) >= 0.99 * len(win)
+            if covered:
                 for i in np.nonzero(detected)[0]:
                     carr[i] = refine_doppler(
                         win, self.sig, int(i) + 1, int(code_phase[i]),
@@ -1782,7 +1774,9 @@ class ChannelManager:
         if meta.get("signal") != self.sig.signal:
             raise ValueError(
                 f"checkpoint is for signal {meta.get('signal')!r}")
-        self._state = jax.tree.map(jnp.asarray, state)
+        # _put_dev keeps the mesh placement __init__ established — a
+        # warm-restarted ChannelManager(mesh=...) resumes SHARDED.
+        self._state = jax.tree.map(self._put_dev, state)
         self._abs_pos = np.asarray(meta["abs_pos"], np.float64)
         self._cursor = int(meta["cursor"])
         for i, (st, prn, _started) in enumerate(meta["slots"]):

@@ -140,9 +140,9 @@ class OnlineNavigator:
         self._hist_start: Dict[int, int] = {}
         self._next_nav = 0
         self._emitted_t = set()
-        # (common_start, n_ms) horizon of the previous solve window:
-        # everything before it is already solved + emitted, so each
-        # poll solves only the newly tracked trailing epochs.
+        # (common_start, good_prns, n_ms) horizon of the previous solve
+        # window: everything before it is already solved + emitted, so
+        # each poll solves only the newly tracked trailing epochs.
         self._solved_horizon = None
         # Carrier-derived filter state (Hatch smoothing + phase-rate),
         # persistent across polls so the rolling solve window doesn't
@@ -382,16 +382,18 @@ class OnlineNavigator:
         # were already solved (and any re-emission is deduped anyway),
         # so re-solving them is pure waste — measured ~7 redundant LSQ
         # epochs per poll in the r5 bench. One step of overlap keeps
-        # the emitted solution grid seamless; a changed alignment base
-        # (slot churn moved the common start) falls back to the full
-        # trailing window.
+        # the emitted solution grid seamless. The horizon only applies
+        # while the solve WORLD is unchanged — same alignment base AND
+        # same satellite set; slot churn or a newly decoded SV falls
+        # back to the full trailing window (it can rewrite n_ms/common
+        # arbitrarily). The horizon is recorded just before the solve
+        # actually runs, never on an early return.
         if self._solved_horizon is not None:
-            h_common, h_n = self._solved_horizon
-            if h_common == common:
+            h_common, h_good, h_n = self._solved_horizon
+            if h_common == common and h_good == tuple(good):
                 if h_n >= n_ms:
                     return          # nothing new tracked since last solve
                 k_lo = max(k_lo, h_n - step_p)
-        self._solved_horizon = (common, n_ms)
         if n_ms - k_lo <= 0:
             return
         # Per channel: transmit time of the code start at ALIGNED index 0
@@ -417,6 +419,7 @@ class OnlineNavigator:
         n_w = n_ms - k_lo
         if int(sf_w.max()) >= n_w:
             return
+        self._solved_horizon = (common, tuple(good), n_ms)
         t_shift_ms = k_lo * period * 1e3
 
         def lane(p, key):

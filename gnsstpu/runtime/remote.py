@@ -44,6 +44,55 @@ class _QueueCommands:
                 return out
 
 
+class _Client:
+    """One connected station: a bounded outbound queue drained by a
+    writer thread, so the receiver's telemetry emit NEVER blocks on a
+    slow peer — records to a backed-up station are dropped, counted,
+    and the stream continues (the reference's non-blocking GUI pipe
+    drops writes the same way, telemetry.cpp)."""
+
+    def __init__(self, sock: socket.socket, max_queue: int = 4096):
+        self.sock = sock
+        self.q: "queue.Queue[Optional[bytes]]" = queue.Queue(max_queue)
+        self.dropped = 0
+        self.dead = False
+        self._writer = threading.Thread(target=self._write_loop,
+                                        daemon=True)
+        self._writer.start()
+
+    def offer(self, data: bytes) -> None:
+        try:
+            self.q.put_nowait(data)
+        except queue.Full:
+            self.dropped += 1
+
+    def _write_loop(self) -> None:
+        while True:
+            data = self.q.get()
+            if data is None or self.dead:
+                break
+            try:
+                self.sock.sendall(data)
+            except OSError:
+                break
+        self.dead = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def close(self) -> None:
+        self.dead = True
+        try:
+            self.q.put_nowait(None)    # wake the writer
+        except queue.Full:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
 class StationServer:
     """TCP fan-out of a receiver's telemetry + command backhaul.
 
@@ -55,10 +104,11 @@ class StationServer:
         ...
         srv.close()
 
-    Clients that stall or disconnect are dropped (send timeout
-    ``send_timeout_s``) — telemetry emission must never block the
-    receiver loop (the reference likewise drops GUI writes when the
-    pipe backs up, telemetry.cpp non-blocking open).
+    Emission never blocks the receiver loop: each client has a bounded
+    outbound queue drained by its own writer thread; a slow or stalled
+    station loses records (counted per client) and a dead one is
+    dropped (the reference likewise drops GUI writes when the pipe
+    backs up, telemetry.cpp non-blocking open).
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
@@ -66,7 +116,7 @@ class StationServer:
         self.commands = _QueueCommands()
         self._send_timeout = send_timeout_s
         self._lock = threading.Lock()
-        self._clients: List[socket.socket] = []
+        self._clients: List[_Client] = []
         self._closed = False
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -84,45 +134,47 @@ class StationServer:
         telemetry.subscribe(self.send)
 
     def send(self, rec: dict) -> None:
-        """Fan one telemetry record out to every connected station."""
+        """Enqueue one telemetry record to every connected station
+        (non-blocking; see _Client)."""
         data = (json.dumps(rec) + "\n").encode()
+        dead = []
         with self._lock:
             clients = list(self._clients)
         for c in clients:
-            try:
-                c.sendall(data)
-            except OSError:
-                self._drop(c)
+            if c.dead:
+                dead.append(c)
+            else:
+                c.offer(data)
+        for c in dead:
+            self._drop(c)
 
-    def _drop(self, c: socket.socket) -> None:
+    def _drop(self, c: _Client) -> None:
         with self._lock:
             if c in self._clients:
                 self._clients.remove(c)
-        try:
-            c.close()
-        except OSError:
-            pass
+        c.close()
 
     # -- server loops --
 
     def _accept_loop(self) -> None:
         while not self._closed:
             try:
-                c, _addr = self._srv.accept()
+                sock, _addr = self._srv.accept()
             except OSError:
                 return
-            c.settimeout(self._send_timeout)
+            sock.settimeout(self._send_timeout)
+            c = _Client(sock)
             with self._lock:
                 self._clients.append(c)
             threading.Thread(target=self._client_reader, args=(c,),
                              daemon=True).start()
 
-    def _client_reader(self, c: socket.socket) -> None:
+    def _client_reader(self, c: _Client) -> None:
         """Drain newline-delimited command JSON from one station."""
         buf = b""
-        while not self._closed:
+        while not self._closed and not c.dead:
             try:
-                chunk = c.recv(4096)
+                chunk = c.sock.recv(4096)
             except socket.timeout:
                 continue
             except OSError:
@@ -143,7 +195,7 @@ class StationServer:
 
     def n_clients(self) -> int:
         with self._lock:
-            return len(self._clients)
+            return sum(1 for c in self._clients if not c.dead)
 
     def close(self) -> None:
         self._closed = True
@@ -155,10 +207,7 @@ class StationServer:
             clients = list(self._clients)
             self._clients.clear()
         for c in clients:
-            try:
-                c.close()
-            except OSError:
-                pass
+            c.close()
 
 
 def parse_tcp_url(url: str) -> Optional[tuple]:
@@ -167,18 +216,24 @@ def parse_tcp_url(url: str) -> Optional[tuple]:
         return None
     hostport = url[len("tcp://"):]
     host, _, port = hostport.rpartition(":")
+    if not port.isdigit():
+        raise ValueError(
+            f"station URL {url!r} needs an explicit port: "
+            "tcp://HOST:PORT")
     return (host or "127.0.0.1", int(port))
 
 
 class StationSocket:
     """Client side of the station link: line-buffered reads of
-    telemetry + command writes, over one TCP connection."""
+    telemetry + command writes, over one TCP connection. ``closed``
+    turns True on peer EOF/error so the owner can reconnect."""
 
     def __init__(self, host: str, port: int, timeout_s: float = 5.0):
         self._sock = socket.create_connection((host, port),
                                               timeout=timeout_s)
         self._sock.setblocking(False)
         self._buf = b""
+        self.closed = False
 
     def read_lines(self) -> List[str]:
         """All complete telemetry lines currently available (non-
@@ -189,8 +244,10 @@ class StationSocket:
             except (BlockingIOError, InterruptedError):
                 break
             except OSError:
+                self.closed = True
                 break
             if not chunk:
+                self.closed = True     # peer EOF
                 break
             self._buf += chunk
         lines = []

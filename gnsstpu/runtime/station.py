@@ -108,8 +108,16 @@ class GroundStation:
                 except OSError:
                     self.message = f"connect failed: {self.log_path}"
                     return 0
-            return sum(1 for line in self._link.read_lines()
-                       if self._ingest(line))
+            n = sum(1 for line in self._link.read_lines()
+                    if self._ingest(line))
+            if self._link.closed:
+                # Receiver went away (restart, drop): surface it and
+                # reconnect on the next pump instead of freezing on
+                # stale pages.
+                self._link.close()
+                self._link = None
+                self.message = "station link down — reconnecting"
+            return n
         if not os.path.exists(self.log_path):
             return 0
         n = 0

@@ -158,3 +158,86 @@ def test_station_tcp_transport():
         station._link.close()
     finally:
         srv.close()
+
+
+def test_station_tcp_link_down_detected():
+    """A dropped receiver link is detected (peer EOF), surfaced to the
+    operator, and the station re-arms for reconnect instead of
+    freezing on stale pages."""
+    import time
+
+    from gnsstpu.runtime.remote import StationServer
+
+    srv = StationServer()
+    tlm = Telemetry(sink=None)
+    srv.attach(tlm)
+    station = GroundStation(f"tcp://127.0.0.1:{srv.port}")
+    station.pump()
+    deadline = time.time() + 5.0
+    while srv.n_clients() == 0 and time.time() < deadline:
+        time.sleep(0.01)
+    tlm.event(0, "channel_start", chan=0, prn=3)
+    deadline = time.time() + 5.0
+    got = 0
+    while not got and time.time() < deadline:
+        got = station.pump()
+        time.sleep(0.01)
+    assert got == 1
+
+    srv.close()                           # receiver goes away
+    deadline = time.time() + 5.0
+    while station._link is not None and time.time() < deadline:
+        station.pump()
+        time.sleep(0.01)
+    assert station._link is None
+    assert "link down" in station.message
+
+
+def test_station_server_send_never_blocks():
+    """A stalled station client must not stall telemetry emission: the
+    per-client queue drops records once full (counted) and emit returns
+    immediately (reference: non-blocking GUI pipe drops writes)."""
+    import socket
+    import time
+
+    from gnsstpu.runtime.remote import StationServer, _Client
+
+    # Unit-level: a socketpair whose reader never reads, tiny queue.
+    a, b = socket.socketpair()
+    a.settimeout(0.2)
+    c = _Client(a, max_queue=4)
+    big = b"x" * 65536 + b"\n"
+    t0 = time.time()
+    for _ in range(500):
+        c.offer(big)
+    assert time.time() - t0 < 1.0         # never blocked on the socket
+    assert c.dropped > 0
+    c.close()
+    b.close()
+
+    # Server-level: emit with a present-but-stalled client stays fast.
+    srv = StationServer()
+    try:
+        rx = socket.create_connection(("127.0.0.1", srv.port))
+        deadline = time.time() + 5.0
+        while srv.n_clients() == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        t0 = time.time()
+        for i in range(2000):
+            srv.send({"type": "event", "i": i, "pad": "y" * 300})
+        assert time.time() - t0 < 2.0
+        rx.close()
+    finally:
+        srv.close()
+
+
+def test_parse_tcp_url_validation():
+    import pytest
+
+    from gnsstpu.runtime.remote import parse_tcp_url
+
+    assert parse_tcp_url("/a/file.jsonl") is None
+    assert parse_tcp_url("tcp://h:123") == ("h", 123)
+    assert parse_tcp_url("tcp://:9") == ("127.0.0.1", 9)
+    with pytest.raises(ValueError):
+        parse_tcp_url("tcp://hostonly")

@@ -270,9 +270,8 @@ class ChannelManager:
         # that outruns the budget is dropped for re-acquisition
         # (window_overrun event), which re-anchors it at the stream
         # head — the self-healing a live receiver needs on multi-hour
-        # runs. History/records grow unboundedly for the life of the
-        # manager (analysis use); cap run length or restart sessions
-        # for multi-hour deployments.
+        # runs. (Memory is bounded separately: see history_window_ms
+        # below — unbounded live sources default to a 36 s window.)
         lag = 2 if self.prefetch else 1   # pipeline adds one superepoch
         self._drift_margin = 64 + int(np.ceil(
             lag * self.sync_every * epoch_ms * 1e-3 * 2e-5 * self.sig.fs

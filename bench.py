@@ -327,23 +327,25 @@ def bench_manager(sig, seconds=44, n_channels=12, epoch_ms=500,
         prn_pool=pool, prefetch=prefetch, readback=readback,
         history_window_ms=36_000)
     mgr.run(warm_ms)                 # warmup: acquire + compile
-    # One continuous measured run (the navigator's decode/solve clocks
-    # stay monotonic), reported as two half-windows — the shared
-    # tunnel's load varies +-30-50% between seconds, so best-of-2 plus
-    # both values ship in the artifact. Each half is a whole number of
+    # One continuous measured run (the receiver clock and the
+    # navigator's decode/solve schedules are monotonic across run()
+    # calls), reported as two half-windows — the shared tunnel's load
+    # varies +-30-50% between seconds, so best-of-2 plus both values
+    # ship in the artifact. Each half is a whole number of
     # superepochs; the split instant comes from the wall timestamp of
     # the first harvested superepoch of the second half.
     sup_ms = sync_every * epoch_ms
     meas_ms = ((n_ms - warm_ms - epoch_ms) // (2 * sup_ms)) * 2 * sup_ms
     half_ms = meas_ms // 2
+    t_base = mgr.clock_ms            # measured epochs start here
     coll.enabled = True
-    mgr._next_reacq_ms = 0
+    mgr._next_reacq_ms = 0           # re-arm a search for window 1
     t0 = time.perf_counter()
     recs = mgr.run(meas_ms)
     t1 = time.perf_counter()
     coll.enabled = False
-    t_half = next((t for ems, t in coll.track_wall if ems >= half_ms),
-                  t1)
+    t_half = next((t for ems, t in coll.track_wall
+                   if ems >= t_base + half_ms), t1)
     rts = [half_ms / 1000.0 / max(t_half - t0, 1e-9),
            (meas_ms - half_ms) / 1000.0 / max(t1 - t_half, 1e-9)]
     rt_overall = meas_ms / 1000.0 / max(t1 - t0, 1e-9)
@@ -399,9 +401,10 @@ def bench_manager(sig, seconds=44, n_channels=12, epoch_ms=500,
         "device_resident": device_resident,
         "reacq_period_ms": reacq_period_ms,
         "navigator": nav_info,
-        "stage_breakdown_s_first_half": coll.breakdown(0, half_ms),
-        "stage_breakdown_s_second_half": coll.breakdown(half_ms,
-                                                        meas_ms),
+        "stage_breakdown_s_first_half": coll.breakdown(
+            t_base, t_base + half_ms),
+        "stage_breakdown_s_second_half": coll.breakdown(
+            t_base + half_ms, t_base + meas_ms),
         "measured_ms": meas_ms,
         "link_upload_mbps": round(up_mbps, 1),
         "note": note,

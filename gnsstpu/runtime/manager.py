@@ -262,6 +262,7 @@ class ChannelManager:
         self._abs_pos = np.zeros(C, np.float64)    # per-slot next sample
         self._cursor = 0                           # epoch base sample
         self._next_reacq_ms = 0
+        self._clock_epochs = 0     # monotonic receiver clock (epochs)
         # Window slack: per-superepoch code-Doppler drift PLUS the
         # inter-channel code-phase spread that accumulates over a live
         # session (channels advance a fixed number of code periods per
@@ -272,8 +273,12 @@ class ChannelManager:
         # head — the self-healing a live receiver needs on multi-hour
         # runs. (Memory is bounded separately: see history_window_ms
         # below — unbounded live sources default to a 36 s window.)
+        # The margin budgets BOTH the static inter-channel spread —
+        # acquisition hands off code phases anywhere in [0, spc), so
+        # up to one code period of spread exists from the first epoch —
+        # and the accumulated differential code-Doppler drift.
         lag = 2 if self.prefetch else 1   # pipeline adds one superepoch
-        self._drift_margin = 64 + int(np.ceil(
+        self._drift_margin = 64 + spc + int(np.ceil(
             lag * self.sync_every * epoch_ms * 1e-3 * 2e-5 * self.sig.fs
             + spread_budget_s * 6.4e-6 * self.sig.fs))
         # Bounded live retention (reference bound: the fixed 4000-deep
@@ -394,29 +399,38 @@ class ChannelManager:
         self._abs_pos[slot_idx] = code_phase
         if self._alloc_log is not None:
             self._alloc_log.append(slot_idx)
-        hist = {"i_p": [], "q_p": [], "carr_doppler": [],
-                "abs_sample": [], "start_ms": epoch_ms}
-        if self.eng.has_data_component:
-            hist["i_p2"] = []
-            hist["q_p2"] = []
-        # Integrated carrier phase (TakeMeasurements role): host mirror
-        # of the correlator's uint32 carrier NCO, accumulated from the
-        # Doppler/blksize streams (tracking.carrier).
-        from gnsstpu.tracking.carrier import CarrierPhaseAccumulator
-        hist["carr_cycles"] = []
-        hist["evicted"] = 0
-        hist["_cph"] = CarrierPhaseAccumulator(
-            int(self._bank["carr_base"][slot_idx]), self.sig.fs,
-            doppler_hz)
         # A re-acquired PRN's stream RESTARTS: continuing the old history
         # across the tracking gap would leave a discontinuity (and the
         # pre-drop garbage) in the bit stream that breaks frame sync and
         # pseudorange alignment downstream. start_ms changing tells the
         # navigator to invalidate its anchors for this PRN.
-        self.history[prn] = hist
+        self.history[prn] = self._new_history(slot_idx, epoch_ms,
+                                              doppler_hz)
         self.tlm.event(epoch_ms, "channel_start", chan=slot_idx, prn=prn,
                        code_phase=round(float(code_phase), 1),
                        doppler_hz=round(float(doppler_hz), 1))
+
+    def _new_history(self, slot_idx: int, start_ms: int,
+                     doppler_hz: float, evicted: int = 0) -> dict:
+        """Fresh per-PRN history dict — the ONE construction site for
+        the stream lanes (_alloc and restore_checkpoint both use it;
+        adding a lane in only one place was a latent divergence).
+        Includes the integrated carrier-phase accumulator
+        (TakeMeasurements role): a host mirror of the correlator's
+        uint32 carrier NCO, fed from the Doppler/blksize streams
+        (tracking.carrier)."""
+        from gnsstpu.tracking.carrier import CarrierPhaseAccumulator
+
+        hist = {"i_p": [], "q_p": [], "carr_doppler": [],
+                "abs_sample": [], "carr_cycles": [],
+                "start_ms": start_ms, "evicted": evicted,
+                "_cph": CarrierPhaseAccumulator(
+                    int(self._bank["carr_base"][slot_idx]), self.sig.fs,
+                    doppler_hz)}
+        if self.eng.has_data_component:
+            hist["i_p2"] = []
+            hist["q_p2"] = []
+        return hist
 
     def _drop(self, slot_idx: int, epoch_ms: int, why: str) -> None:
         s = self.slots[slot_idx]
@@ -463,7 +477,18 @@ class ChannelManager:
                     hasattr(self.source, "ended_at")
                     and self.source.ended_at(base))
             else:
-                ended = not np.any(buf[: self._espc])
+                # Positional end for sized finite sources; the all-zero
+                # heuristic only for unsized/endless ones (a zero-filled
+                # DROPOUT mid-recording must trigger channel drops +
+                # reacquisition, not terminate the whole run).
+                try:
+                    src_len = len(self.source)
+                except TypeError:
+                    src_len = None
+                if src_len is not None and src_len < 2 ** 61:
+                    ended = base >= src_len
+                else:
+                    ended = not np.any(buf[: self._espc])
         if need_len < chunk_len:
             if self.wire is not None:
                 spb = samples_per_byte(self.wire)
@@ -672,8 +697,16 @@ class ChannelManager:
         B, combine = _windows_of(acq)
         L = acq.coherent_ms * spc
         Lw = fft_acquire.window_len(spc, acq.coherent_ms)
-        B_c = min(B, (self._chunk_len - Lw) // L + 1)
-        if combine != "sum" or B_c < 1:
+        # Windows per chunk are sized to the steady chunk ADVANCE
+        # (k*espc), not the chunk length: consecutive chunks overlap by
+        # win_len - espc samples, and windows reaching into the overlap
+        # would enter the noncoherent sum twice (miscounting 'done' and
+        # shifting the false-alarm calibration). The sliver between the
+        # last fitting window and the next chunk's base is skipped —
+        # honest, slightly slower integration beats double-counting.
+        adv = self._espc * self.sync_every
+        B_c = min(B, max(1, (adv - Lw) // L + 1))
+        if combine != "sum" or Lw > self._chunk_len:
             self._acq_wk_fns = None
             return None
         need = (B_c - 1) * L + Lw      # samples one accumulate reads
@@ -939,19 +972,33 @@ class ChannelManager:
     # --- main loop ---
 
     def run(self, n_ms: int) -> List[EpochRecord]:
-        n_epochs = n_ms // self.epoch_ms
+        """Process n_ms of signal. Epoch labels form ONE monotonic
+        receiver clock across successive run() calls on the same
+        manager (resume from clock_ms): slot started_ms / reacq /
+        navigator schedules stay meaningful when a caller alternates
+        run() with its own work (the reference's receiver time never
+        restarts while the process lives)."""
+        e0 = self._clock_epochs
+        n_epochs = e0 + n_ms // self.epoch_ms
         self._last_progress = time.monotonic()
         if self.prefetch and self.sync_every > 1:
-            self._run_pipelined(n_epochs)
+            self._run_pipelined(e0, n_epochs)
             return self.records
-        e = 0
+        e = e0
         while e < n_epochs:
             k = min(self.sync_every, n_epochs - e)
             advanced = self._run_superepoch(e, k)
             if not advanced:
                 break
             e += k
+        self._clock_epochs = e
         return self.records
+
+    @property
+    def clock_ms(self) -> int:
+        """Receiver-clock milliseconds processed so far (the epoch
+        label the next run() starts at)."""
+        return self._clock_epochs * self.epoch_ms
 
     def _run_superepoch(self, e0: int, k: int) -> bool:
         """Process k supervision epochs in one device round-trip.
@@ -1105,25 +1152,8 @@ class ChannelManager:
         # --- host supervision, per sub-epoch ---
         t_sup0 = time.perf_counter()
         pos = base + rel.astype(np.float64)
-        for j, o in enumerate(outs):
-            epoch_ms = (e0 + j) * self.epoch_ms
-            streams, st = o
-            blk = streams[:, :, self._S_BLK].astype(np.float64)
-            ends = pos[None, :] + np.cumsum(blk, axis=0)
-            status = tlock.LockStatus(
-                cn0_dbhz=st[:, self._T_CN0],
-                pll_lock=st[:, self._T_PLL],
-                code_lock=st[:, self._T_CODE],
-                locked=st[:, self._T_LOCKED] > 0.5)
-            dopp_full = streams[:, :, self._S_DOPP]
-            self._supervise_epoch(
-                epoch_ms, status,
-                ip=streams[:, :, self._S_IP],
-                qp=streams[:, :, self._S_QP],
-                rem=streams[:, :, self._S_REM], ends=ends,
-                dopp_last=dopp_full[-1], dopp_full=dopp_full,
-                streams=streams)
-            pos = ends[-1]
+        pos = self._supervise_block([o[0] for o in outs],
+                                    [o[1] for o in outs], pos, e0)
         self._abs_pos = pos
         self._cursor = base + k * self._espc
         self._last_progress = time.monotonic()
@@ -1309,7 +1339,7 @@ class ChannelManager:
         packed_np, acq = jax.device_get((p.packed, p.acq_fut))
         return self._decode_readback(packed_np), acq
 
-    def _run_pipelined(self, n_epochs: int) -> None:
+    def _run_pipelined(self, e0: int, n_epochs: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         espc = self._espc
@@ -1320,7 +1350,7 @@ class ChannelManager:
         entry = True               # host sample_pos rebase needed
         self._pending_allocs: List[int] = []
         self._det_base = 0
-        e = 0
+        e = e0
         try:
             while e < n_epochs:
                 k = min(self.sync_every, n_epochs - e)
@@ -1447,6 +1477,7 @@ class ChannelManager:
             if pend is not None:
                 self._harvest(pend, next_base=self._cursor,
                               alloc_ms=e * self.epoch_ms)
+            self._clock_epochs = e
         finally:
             ex.shutdown(wait=False)
             fx.shutdown(wait=False)
@@ -1493,25 +1524,7 @@ class ChannelManager:
             if s.state is SlotState.IDLE:
                 pos[i] = p.base
         self._alloc_log = []
-        for j in range(p.k):
-            epoch_ms = (p.e0 + j) * self.epoch_ms
-            st = stats_k[j]
-            sj = streams_k[j]
-            blk = sj[:, :, self._S_BLK].astype(np.float64)
-            ends = pos[None, :] + np.cumsum(blk, axis=0)
-            status = tlock.LockStatus(
-                cn0_dbhz=st[:, self._T_CN0],
-                pll_lock=st[:, self._T_PLL],
-                code_lock=st[:, self._T_CODE],
-                locked=st[:, self._T_LOCKED] > 0.5)
-            dopp_full = sj[:, :, self._S_DOPP]
-            self._supervise_epoch(
-                epoch_ms, status,
-                ip=sj[:, :, self._S_IP], qp=sj[:, :, self._S_QP],
-                rem=sj[:, :, self._S_REM], ends=ends,
-                dopp_last=dopp_full[-1], dopp_full=dopp_full,
-                streams=sj)
-            pos = ends[-1]
+        pos = self._supervise_block(streams_k, stats_k, pos, p.e0)
         self._abs_pos = pos
         for i, v in fresh.items():
             self._abs_pos[i] = v
@@ -1544,14 +1557,44 @@ class ChannelManager:
                 if relp < 0 or relp > self._drift_margin:
                     self._drop(i, alloc_ms, why="window_overrun")
 
+    def _supervise_block(self, streams_k, stats_k, pos, e0: int):
+        """Host supervision for K epochs of canonical stream/stat
+        arrays (shared by the serial superepoch and the prefetch
+        harvest); returns the advanced per-slot positions."""
+        for j in range(len(stats_k)):
+            epoch_ms = (e0 + j) * self.epoch_ms
+            st = stats_k[j]
+            sj = streams_k[j]
+            blk = sj[:, :, self._S_BLK].astype(np.float64)
+            ends = pos[None, :] + np.cumsum(blk, axis=0)
+            status = tlock.LockStatus(
+                cn0_dbhz=st[:, self._T_CN0],
+                pll_lock=st[:, self._T_PLL],
+                code_lock=st[:, self._T_CODE],
+                locked=st[:, self._T_LOCKED] > 0.5)
+            dopp_full = sj[:, :, self._S_DOPP]
+            self._supervise_epoch(
+                epoch_ms, status,
+                ip=sj[:, :, self._S_IP], qp=sj[:, :, self._S_QP],
+                rem=sj[:, :, self._S_REM], ends=ends,
+                dopp_last=dopp_full[-1], dopp_full=dopp_full,
+                streams=sj)
+            pos = ends[-1]
+        return pos
+
     def _supervise_epoch(self, epoch_ms: int, status, *, ip, qp, rem,
                          ends, dopp_last, dopp_full,
                          streams=None) -> None:
         """Per-epoch host supervision: records, history, confirm/drop
         state machine, navigator poll. Arrays are [E, C] (np)."""
+        # A slot allocated AFTER this (in-flight) superepoch was
+        # dispatched starts tracking later: its device row here is
+        # pre-handoff garbage, so the record must not label it with the
+        # new PRN (same guard as the history appends below).
         rec = EpochRecord(
             epoch_ms=epoch_ms,
-            prn=np.array([s.prn for s in self.slots]),
+            prn=np.array([0 if s.started_ms > epoch_ms else s.prn
+                          for s in self.slots]),
             cn0_dbhz=np.asarray(status.cn0_dbhz),
             pll_lock=np.asarray(status.pll_lock),
             doppler_hz=np.asarray(dopp_last))
@@ -1669,7 +1712,18 @@ class ChannelManager:
                 if c.get("prn") not in self.pool:
                     self.pool.append(c["prn"])
             elif cmd == "set" and c.get("key") in settable:
-                setattr(self, settable[c["key"]], c.get("v"))
+                # Remote commands are untrusted console input: a bad
+                # value must be rejected here, not crash the receiver
+                # loop epochs later (the reference NAKs malformed
+                # commands over the pipe, commando.cpp).
+                v = c.get("v")
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    self.tlm.event(epoch_ms, "command_rejected",
+                                   raw=str(c)[:80])
+                    continue
+                key = settable[c["key"]]
+                setattr(self, key,
+                        int(v) if key == "drop_after" else float(v))
             else:
                 self.tlm.event(epoch_ms, "command_rejected", raw=str(c)[:80])
                 continue
@@ -1792,28 +1846,18 @@ class ChannelManager:
             # saved accumulator + blocks_seen keep carrier phase and
             # the absolute block index continuous across the gap).
             self.eng.write_slot(self._bank, i, s.prn)
-            from gnsstpu.tracking.carrier import CarrierPhaseAccumulator
             dopp0 = float(np.asarray(
                 self._state.corr.carr_delta[i])) if hasattr(
                     self._state.corr, "carr_delta") else 0.0
             saved = (meta.get("cph") or {}).get(str(s.prn))
-            cph = CarrierPhaseAccumulator(
-                int(self._bank["carr_base"][i]), self.sig.fs,
-                saved["last_delta"] if saved else dopp0)
-            evicted = 0
+            hist = self._new_history(
+                i, start_ms=0,
+                doppler_hz=saved["last_delta"] if saved else dopp0,
+                evicted=int(saved["blocks_seen"]) if saved else 0)
             if saved:
-                cph.acc = int(saved["acc"])
-                cph.base = int(saved["base"])
-                evicted = int(saved["blocks_seen"])
-            self.history[s.prn] = {
-                "i_p": [], "q_p": [], "carr_doppler": [],
-                "abs_sample": [], "start_ms": 0, "carr_cycles": [],
-                "evicted": evicted,
-                "_cph": cph,
-            }
-            if self.eng.has_data_component:
-                self.history[s.prn]["i_p2"] = []
-                self.history[s.prn]["q_p2"] = []
+                hist["_cph"].acc = int(saved["acc"])
+                hist["_cph"].base = int(saved["base"])
+            self.history[s.prn] = hist
         self._bank_dev = None      # re-upload the rebuilt bank
         return meta
 

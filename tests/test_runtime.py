@@ -419,3 +419,49 @@ def test_bounded_history_plateaus_flat():
     assert h["evicted"] > 0
     assert h["evicted"] + sum(len(a) for a in h["i_p"]) \
         >= (n_ms - 3 * mgr.epoch_ms) // mgr.eng.period_ms
+
+
+def test_run_clock_continues_across_calls():
+    """Successive run() calls form ONE monotonic receiver clock:
+    run(400)+run(400) reproduces run(800) bit-exactly (serial
+    superepochs) — slot started_ms, reacq schedule, and telemetry
+    labels never restart mid-session (the reference's receiver time is
+    monotonic for the life of the process)."""
+    sats = [SatParams(prn=5, doppler_hz=900.0, code_phase_chips=200.5,
+                      cn0_dbhz=47.0),
+            SatParams(prn=12, doppler_hz=-1500.0,
+                      code_phase_chips=700.25, cn0_dbhz=46.0)]
+    sim = IFSimulator(SIG, sats, noise_sigma=1.0, seed=3)
+    samples = np.asarray(sim.generate(850))
+    from gnsstpu.runtime.sources import ArraySource
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=6e3, coherent_ms=2, threshold=2.4,
+                      prn_list=(5, 12), fine_doppler_ms=10),
+        track=TrackConfig(dll_bw=1.0), n_channels=3)
+
+    def mk():
+        return ChannelManager(
+            ArraySource(samples.copy()), cfg,
+            telemetry=Telemetry(sink=io.StringIO()), epoch_ms=100,
+            reacq_period_ms=400, cn0_drop_dbhz=35.0, prn_pool=[5, 12],
+            sync_every=2)
+
+    m_split = mk()
+    m_split.run(400)
+    assert m_split.clock_ms == 400
+    m_split.run(400)
+    assert m_split.clock_ms == 800
+    m_whole = mk()
+    m_whole.run(800)
+
+    assert len(m_split.records) == len(m_whole.records)
+    for a, b in zip(m_whole.records, m_split.records):
+        assert a.epoch_ms == b.epoch_ms
+        assert np.array_equal(a.prn, b.prn)
+        assert np.array_equal(a.cn0_dbhz, b.cn0_dbhz)
+    for prn in (5, 12):
+        sa = m_whole.prompt_stream(prn)
+        sb = m_split.prompt_stream(prn)
+        for key in ("i_p", "q_p", "carr_doppler", "abs_sample"):
+            assert np.array_equal(sa[key], sb[key]), (prn, key)

@@ -49,7 +49,9 @@ class ArraySource:
 class _PackedReadMixin:
     """Decoded f32 read() on top of a read_packed() implementation
     (host-side consumers: fine-Doppler refinement, host-path
-    acquisition)."""
+    acquisition). Honors the SampleSource contract: samples outside
+    [0, len(self)) are ZERO — packed zero BYTES decode to DC (+1,+1)
+    sign/mag levels, so the out-of-range span is zeroed explicitly."""
 
     def read(self, start: int, count: int) -> np.ndarray:
         from gnsstpu.ops import unpack as up
@@ -59,7 +61,13 @@ class _PackedReadMixin:
         n = count + (start - s0)
         n += (-n) % a
         dec = up.unpack_np(self.read_packed(s0, n), self._fmt)
-        return dec[start - s0: start - s0 + count]
+        out = np.array(dec[start - s0: start - s0 + count])
+        src_len = len(self)
+        lo = max(0, -start)
+        hi = max(0, min(count, src_len - start))
+        out[:lo] = 0.0
+        out[hi:] = 0.0
+        return out
 
 
 class PackedArraySource(_PackedReadMixin):
@@ -148,12 +156,23 @@ class DevicePackedArraySource(_PackedReadMixin):
         a = up.align(self._fmt)
         if start % a or count % a:
             raise ValueError(f"unaligned packed read ({start}, {count})")
-        b0 = max(int(start / self._spb), 0)
+        b0 = int(start / self._spb)       # negative for start < 0
         nb = int(count / self._spb)
         if b0 + nb > len(self.packed) + self._pad_b:
             raise ValueError(
                 f"read past the device buffer's tail pad "
                 f"({start}+{count} vs {self._n}+pad)")
+        if b0 < 0:
+            # Pre-start reads serve zero bytes, front-aligned (a
+            # clamped slice would return SHIFTED samples — the exact
+            # failure the tail pad exists to prevent, on the other
+            # side).
+            import jax.numpy as jnp
+            nb_avail = max(nb + b0, 0)
+            seg = jax.lax.dynamic_slice_in_dim(self.packed_dev, 0,
+                                               nb_avail)
+            return jnp.concatenate(
+                [jnp.zeros(nb - nb_avail, jnp.uint8), seg])
         return jax.lax.dynamic_slice_in_dim(self.packed_dev, b0, nb)
 
     def read(self, start: int, count: int) -> np.ndarray:
@@ -162,14 +181,19 @@ class DevicePackedArraySource(_PackedReadMixin):
         # consumers decode the retained host copy instead.
         from gnsstpu.ops import unpack as up
 
+        out = np.zeros((count, 2), np.float32)
+        if start < 0:
+            lead = min(-start, count)
+            if count > lead:
+                out[lead:] = self.read(0, count - lead)
+            return out
         a = up.align(self._fmt)
-        s0 = max(start - start % a, 0)
+        s0 = start - start % a
         n = count + (start - s0)
         n += (-n) % a
         b0 = int(s0 / self._spb)
         seg = self.packed[b0: b0 + int(n / self._spb)]
         dec = up.unpack_np(seg, self._fmt)
-        out = np.zeros((count, 2), np.float32)
         got = dec[start - s0: start - s0 + count]
         out[: len(got)] = got
         return out
@@ -261,8 +285,12 @@ class SimSource:
         self._cache_len_ms = 0
 
     def read(self, start: int, count: int) -> np.ndarray:
-        ms0 = start // self.block
+        ms0 = max(start // self.block, 0)
         ms1 = min((start + count - 1) // self.block + 1, self.n_ms)
+        if ms1 <= ms0:
+            # Entirely outside [0, n_ms): zero-pad per the protocol
+            # (a negative gen_len would otherwise reach the simulator).
+            return np.zeros((count, 2), np.float32)
         if not (self._cache_ms0 <= ms0 and
                 ms1 <= self._cache_ms0 + self._cache_len_ms):
             gen_ms0 = ms0
@@ -350,11 +378,10 @@ class StreamSource:
             if r == 1:
                 deadline = _time.monotonic() + self.timeout_s
                 blk = buf.view(np.float32).reshape(self.block, 2)
+                # H is a whole number of blocks and _end advances in
+                # whole blocks, so a block never straddles the wrap.
                 pos = self._end % H
-                n1 = min(self.block, H - pos)
-                self._hist[pos: pos + n1] = blk[:n1]
-                if n1 < self.block:
-                    self._hist[: self.block - n1] = blk[n1:]
+                self._hist[pos: pos + self.block] = blk
                 self._end += self.block
             elif r == -1:
                 self._eos = True
@@ -370,8 +397,15 @@ class StreamSource:
         lo = max(start, self._end - H, 0)
         hi = min(start + count, self._end)
         if hi > lo:
-            idx = (np.arange(lo, hi) % H)
-            out[lo - start: hi - start] = self._hist[idx]
+            # The ring wraps at most once over a <=H-long window: two
+            # contiguous memcpy slices instead of a per-sample modulo
+            # gather (this is the hot per-superepoch feed path).
+            p0 = lo % H
+            n1 = min(hi - lo, H - p0)
+            out[lo - start: lo - start + n1] = self._hist[p0: p0 + n1]
+            if n1 < hi - lo:
+                out[lo - start + n1: hi - start] = \
+                    self._hist[: hi - lo - n1]
         return out
 
     def stats(self) -> dict:
@@ -409,15 +443,74 @@ def decode_samples(raw: bytes, fmt: str) -> np.ndarray:
         out = np.zeros((len(v), 2), np.float32)
         out[:, 0] = v
         return out
+    if fmt == "packed_4bit":
+        nw = len(raw) // 2
+        return native.decode_packed_4bit(
+            np.frombuffer(raw, np.uint16, count=nw))
     raise ValueError(f"unknown format {fmt!r}")
 
 
 def _format_bytes_per_sample(fmt: str) -> int:
-    return {"i8_iq": 2, "i8": 1, "i16_iq": 4, "c64": 8,
-            "gn3s_2bit": 1}[fmt]
+    try:
+        return {"i8_iq": 2, "i8": 1, "i16_iq": 4, "c64": 8,
+                "gn3s_2bit": 1}[fmt]
+    except KeyError:
+        raise ValueError(f"unknown format {fmt!r}") from None
 
 
-class SocketStreamProducer:
+def _format_block_bytes(fmt: str, n_samples: int) -> int:
+    """Wire bytes for n_samples in a FileSource format (packed_4bit is
+    sub-byte: 4 x 4-bit samples per LE u16 word)."""
+    if fmt == "packed_4bit":
+        if n_samples % 4:
+            raise ValueError("packed_4bit needs sample counts % 4 == 0")
+        return n_samples // 2
+    return n_samples * _format_bytes_per_sample(fmt)
+
+
+class _NetProducerMixin:
+    """Transport-independent half of the network producers: the
+    byte-continuous framing loop (residue -> decode/raw blocks -> FIFO)
+    and the lifecycle plumbing, shared by the UDP and TCP transports
+    so framing/decode fixes cannot drift between them."""
+
+    def start(self):
+        self.thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop = True
+        if self.thread.ident is None:
+            # Never started: _run's finally can't release the
+            # resources, so the consumer would hang to timeout and the
+            # bound socket would leak.
+            self.fifo.close()
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+
+    def _feed(self, residue: bytes, data: bytes) -> bytes:
+        """Consume whole blocks from residue+data; returns the new
+        residue. raw=True pushes wire bytes untouched (device unpack);
+        else decodes to f32 blocks. Non-blocking push counts overruns
+        (a live radio must never stall the receive loop)."""
+        residue += data
+        blk_bytes = self._blk_bytes
+        while len(residue) >= blk_bytes:
+            if self.raw:
+                blk = np.frombuffer(residue[:blk_bytes], np.uint8)
+            else:
+                blk = decode_samples(
+                    residue[:blk_bytes], self.fmt).astype(
+                        np.float32).view(np.uint8).reshape(-1)
+            residue = residue[blk_bytes:]
+            if self.fifo.push(blk, timeout_ms=-1) != 1:
+                self.overruns += 1
+        return residue
+
+
+class SocketStreamProducer(_NetProducerMixin):
     """UDP datagram receiver -> sample decode -> ring FIFO.
 
     Completes the GPS_Source role for a NETWORKED front end (the
@@ -449,9 +542,9 @@ class SocketStreamProducer:
         self.raw = raw
         if raw:
             from gnsstpu.ops import unpack as up
-            self._raw_bpb = up.wire_bytes(fmt, self.block)
+            self._blk_bytes = up.wire_bytes(fmt, self.block)
         else:
-            self._bps = _format_bytes_per_sample(fmt)
+            self._blk_bytes = _format_block_bytes(fmt, self.block)
         self.timeout_s = timeout_s
         self._stop = False
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -461,19 +554,11 @@ class SocketStreamProducer:
         self.overruns = 0
         self.thread = threading.Thread(target=self._run, daemon=True)
 
-    def start(self) -> "SocketStreamProducer":
-        self.thread.start()
-        return self
-
-    def stop(self) -> None:
-        self._stop = True
-
     def _run(self) -> None:
         import socket
         import time as _time
 
         residue = b""
-        blk_bytes = self._raw_bpb if self.raw else self.block * self._bps
         deadline = _time.monotonic() + self.timeout_s
         try:
             while not self._stop:
@@ -486,24 +571,13 @@ class SocketStreamProducer:
                 if not data:          # zero-length datagram = EOS
                     break
                 deadline = _time.monotonic() + self.timeout_s
-                residue += data
-                while len(residue) >= blk_bytes:
-                    if self.raw:
-                        blk = np.frombuffer(residue[:blk_bytes],
-                                            np.uint8)
-                    else:
-                        blk = decode_samples(
-                            residue[:blk_bytes], self.fmt).astype(
-                                np.float32).view(np.uint8).reshape(-1)
-                    residue = residue[blk_bytes:]
-                    if self.fifo.push(blk, timeout_ms=-1) != 1:
-                        self.overruns += 1
+                residue = self._feed(residue, data)
         finally:
             self.fifo.close()
             self.sock.close()
 
 
-class TcpStreamProducer:
+class TcpStreamProducer(_NetProducerMixin):
     """TCP byte-stream receiver -> sample decode -> ring FIFO.
 
     The connection-oriented sibling of SocketStreamProducer (reference
@@ -527,9 +601,9 @@ class TcpStreamProducer:
         self.raw = raw
         if raw:
             from gnsstpu.ops import unpack as up
-            self._raw_bpb = up.wire_bytes(fmt, self.block)
+            self._blk_bytes = up.wire_bytes(fmt, self.block)
         else:
-            self._bps = _format_bytes_per_sample(fmt)
+            self._blk_bytes = _format_block_bytes(fmt, self.block)
         self.timeout_s = timeout_s
         self._stop = False
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -540,13 +614,6 @@ class TcpStreamProducer:
         self.port = self.sock.getsockname()[1]
         self.overruns = 0
         self.thread = threading.Thread(target=self._run, daemon=True)
-
-    def start(self) -> "TcpStreamProducer":
-        self.thread.start()
-        return self
-
-    def stop(self) -> None:
-        self._stop = True
 
     def _run(self) -> None:
         import socket
@@ -565,8 +632,6 @@ class TcpStreamProducer:
                 return
             conn.settimeout(0.2)
             residue = b""
-            blk_bytes = (self._raw_bpb if self.raw
-                         else self.block * self._bps)
             deadline = _time.monotonic() + self.timeout_s
             while not self._stop:
                 try:
@@ -578,18 +643,7 @@ class TcpStreamProducer:
                 if not data:          # peer closed = end of stream
                     break
                 deadline = _time.monotonic() + self.timeout_s
-                residue += data
-                while len(residue) >= blk_bytes:
-                    if self.raw:
-                        blk = np.frombuffer(residue[:blk_bytes],
-                                            np.uint8)
-                    else:
-                        blk = decode_samples(
-                            residue[:blk_bytes], self.fmt).astype(
-                                np.float32).view(np.uint8).reshape(-1)
-                    residue = residue[blk_bytes:]
-                    if self.fifo.push(blk, timeout_ms=-1) != 1:
-                        self.overruns += 1
+                residue = self._feed(residue, data)
         finally:
             if conn is not None:
                 conn.close()
@@ -644,11 +698,10 @@ class PackedStreamSource(_PackedReadMixin):
             r, buf = self.fifo.pop(timeout_ms=200)
             if r == 1:
                 deadline = _time.monotonic() + self.timeout_s
+                # H is a whole number of byte-blocks and _end advances
+                # in whole blocks: a block never straddles the wrap.
                 pos = int(self._end / self._spb) % H
-                n1 = min(self._bpb, H - pos)
-                self._hist[pos: pos + n1] = buf[:n1]
-                if n1 < self._bpb:
-                    self._hist[: self._bpb - n1] = buf[n1:]
+                self._hist[pos: pos + self._bpb] = buf
                 self._end += self.block
             elif r == -1:
                 self._eos = True
@@ -671,9 +724,13 @@ class PackedStreamSource(_PackedReadMixin):
         if hi > lo:
             b0 = int(lo / self._spb)
             b1 = int(hi / self._spb)
-            idx = np.arange(b0, b1) % H
-            out[b0 - int(start / self._spb):
-                b1 - int(start / self._spb)] = self._hist[idx]
+            o0 = b0 - int(start / self._spb)
+            p0 = b0 % H
+            n1 = min(b1 - b0, H - p0)
+            out[o0: o0 + n1] = self._hist[p0: p0 + n1]
+            if n1 < b1 - b0:
+                out[o0 + n1: o0 + (b1 - b0)] = \
+                    self._hist[: b1 - b0 - n1]
         return out
 
 
@@ -730,6 +787,8 @@ class FileStreamProducer:
 
     def stop(self) -> None:
         self._stop = True
+        if self.thread.ident is None:
+            self.fifo.close()      # never started: close here
 
     def _run(self) -> None:
         import time as _time
@@ -739,11 +798,20 @@ class FileStreamProducer:
         t0 = _time.monotonic()
         while not self._stop and pos < n:
             blk = self.src.read(pos, self.block)
-            # Blocking push: a full ring waits for the consumer (the
-            # offline-file mode); a live radio would use the
-            # non-blocking push and count overruns instead.
-            if self.fifo.push(blk.astype(np.float32).view(np.uint8)
-                              .reshape(-1), timeout_ms=5000) != 1:
+            # Blocking push, retried for as long as it takes: offline
+            # file replay is LOSSLESS — a consumer stall longer than
+            # one push timeout (first-superepoch compile, a long PVT
+            # solve) must NOT silently truncate the stream. stop()
+            # still interrupts between attempts. A live radio uses the
+            # non-blocking push + overrun counting instead (the
+            # network producers).
+            wire = (blk.astype(np.float32).view(np.uint8).reshape(-1))
+            pushed = False
+            while not self._stop:
+                if self.fifo.push(wire, timeout_ms=1000) == 1:
+                    pushed = True
+                    break
+            if not pushed:
                 break
             pos += self.block
             if self.realtime_fs > 0:

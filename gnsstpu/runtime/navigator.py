@@ -258,7 +258,11 @@ class OnlineNavigator:
                 mgr.tlm.event(epoch_ms, "almanac_decoded", prn_src=s.prn,
                               new=new, entries=sorted(self.almanac),
                               iono_utc=self.iono_utc is not None)
-            break
+            if alms or iu is not None:
+                break
+            # This stream frame-synced but yielded no pages (parity-
+            # degraded channel): try the next slot instead of starving
+            # almanac collection on slot order.
         # Warm-start visibility: almanac + last fix -> predicted-visible
         # set; the manager masks almanac-known-but-not-visible PRNs out
         # of its searches.
@@ -266,10 +270,23 @@ class OnlineNavigator:
         if self.solutions and self.decoded:
             last = self.solutions[-1]
             rx = np.array([last["x"], last["y"], last["z"]])
-            # Satellite time now ~ latest anchor TOW + elapsed stream
-            # time; visibility tolerates tens of seconds of slack.
-            t = (max(self.decoded[p][1] for p in self.decoded)
-                 + epoch_ms * 1e-3)
+            # GPS time now ~ anchor TOW + blocks TRACKED SINCE that
+            # anchor (adding the full run-elapsed epoch_ms would
+            # overestimate time by the anchor channel's own start age —
+            # an anchor decoded 50 min into the run carries TOW+50min
+            # already). Visibility tolerates tens of seconds of slack.
+            ts = []
+            for p, (aidx, t_anchor, _e) in self.decoded.items():
+                h = mgr.history.get(p)
+                if h is None:
+                    continue
+                n_blk = (h.get("evicted", 0)
+                         + sum(len(a) for a in h["i_p"]))
+                ts.append(t_anchor
+                          + (n_blk - aidx) * self.sig.code_period_s)
+            t = max(ts) if ts else None
+            if t is None:
+                rx = None
         elif self._seed is not None:
             # Pre-fix warm start from loaded assist data (EEPROM role).
             rx = self._seed[0]
@@ -353,7 +370,10 @@ class OnlineNavigator:
         good = [p for p in sorted(self.decoded) if p in live]
         if len(good) < 4:
             return
-        streams = {p: self._stream(mgr, p) for p in good}
+        # Only the history dicts are needed here (the prompt-stream
+        # concat _stream() performs is for the decoders, and is O(full
+        # retained window) per channel — pure waste per solve poll).
+        streams = {p: (mgr.history[p], None) for p in good}
         # Channels acquired at different epochs have offset stream
         # origins; align every stream to the latest channel start so
         # record index k means the same receive epoch on all rows.
@@ -393,7 +413,11 @@ class OnlineNavigator:
             if h_common == common and h_good == tuple(good):
                 if h_n >= n_ms:
                     return          # nothing new tracked since last solve
-                k_lo = max(k_lo, h_n - step_p)
+                # Two steps of overlap: pvt.navigate floors the epoch
+                # grid, so with one step the last in-window grid epoch
+                # (leftover-plus-anchor-spread past the floor) could
+                # fall between consecutive windows and never be solved.
+                k_lo = max(k_lo, h_n - 2 * step_p)
         if n_ms - k_lo <= 0:
             return
         # Per channel: transmit time of the code start at ALIGNED index 0
@@ -430,8 +454,10 @@ class OnlineNavigator:
         abs_sample = np.stack([lane(p, "abs_sample") for p in good])
         ephs = {p: self.decoded[p][2] for p in good}
         ekf_kw = {}
-        if (self.nav.carrier_smoothing_s > 0
-                and all("carr_cycles" in streams[p][0] for p in good)):
+        # Lanes must be NON-EMPTY to stack ("in" is vacuous: the
+        # manager always creates the carr_cycles key).
+        have_carr = all(streams[p][0]["carr_cycles"] for p in good)
+        if self.nav.carrier_smoothing_s > 0 and have_carr:
             # Hatch smoothing needs the carrier stream in LSQ mode too.
             ekf_kw["carr_cycles"] = np.stack(
                 [lane(p, "carr_cycles") for p in good])
@@ -447,8 +473,11 @@ class OnlineNavigator:
                      - sd.carrier_freq(sd.fdma_zero_prn) for p in good])
             carr = np.stack([lane(p, "carr_doppler") for p in good])
             carr += (self.sig.if_freq + fdma_off[:, None])
-            ekf_kw = {"carr_freq": carr, "collect_meas": True}
-            if all("carr_cycles" in streams[p][0] for p in good):
+            # Additive: a dict REASSIGNMENT here silently discarded the
+            # Hatch block above in EKF mode.
+            ekf_kw["carr_freq"] = carr
+            ekf_kw["collect_meas"] = True
+            if "carr_cycles" not in ekf_kw and have_carr:
                 ekf_kw["carr_cycles"] = np.stack(
                     [lane(p, "carr_cycles") for p in good])
                 ekf_kw["smooth_state"] = self._smooth_state
@@ -463,12 +492,21 @@ class OnlineNavigator:
         sol.t_ms += t_shift_ms
         for m in sol.meas:
             m["t_ms"] += t_shift_ms
+
+        # Dedup keys must be ALIGNMENT-INDEPENDENT: t_ms is relative to
+        # the common start, which rebases when the satellite set
+        # changes (re-emitting already-solved epochs, double-fusing the
+        # EKF). common + t_ms is absolute stream time; rounding kills
+        # the ~1e-12 ms float residue different k_lo splits introduce.
+        def key_of(t_ms_val: float) -> float:
+            return round(common + float(t_ms_val), 6)
+
         if self.mode == "ekf":
-            self._feed_ekf(mgr, sol)
+            self._feed_ekf(mgr, sol, key_of)
         for k in range(len(sol.t_ms)):
-            if not sol.valid[k] or sol.t_ms[k] in self._emitted_t:
+            if not sol.valid[k] or key_of(sol.t_ms[k]) in self._emitted_t:
                 continue
-            self._emitted_t.add(sol.t_ms[k])
+            self._emitted_t.add(key_of(sol.t_ms[k]))
             mgr.tlm.pvt(int(sol.t_ms[k]), float(sol.latitude[k]),
                         float(sol.longitude[k]), float(sol.height[k]),
                         int(sol.n_sats[k]),
@@ -483,17 +521,39 @@ class OnlineNavigator:
                 "lat": float(sol.latitude[k]),
                 "lon": float(sol.longitude[k]),
                 "h": float(sol.height[k]), "n_sv": int(sol.n_sats[k])})
+        self._prune()
 
-    def _feed_ekf(self, mgr, sol) -> None:
+    # Trailing retention of the navigator's per-epoch products: the
+    # manager bounds its history/records for multi-day live runs
+    # (history_window_ms); the solution/track lists and dedup key sets
+    # must not regrow that memory linearly. 20k solutions = ~5.5 h at
+    # 1 Hz; every solution also went out as telemetry, so trimming the
+    # head loses nothing an operator/analyst could not log.
+    _MAX_KEEP = 20_000
+
+    def _prune(self) -> None:
+        if len(self.solutions) > self._MAX_KEEP:
+            del self.solutions[: len(self.solutions) - self._MAX_KEEP]
+        if len(self.ekf_track) > self._MAX_KEEP:
+            del self.ekf_track[: len(self.ekf_track) - self._MAX_KEEP]
+        for keys in (self._emitted_t, self._ekf_fed_t):
+            if len(keys) > 4 * self._MAX_KEEP:
+                keep = sorted(keys)[-2 * self._MAX_KEEP:]
+                keys.clear()
+                keys.update(keep)
+
+    def _feed_ekf(self, mgr, sol, key_of) -> None:
         """Fuse the window's NEW measurement epochs into the nav EKF and
-        stream filtered PVT ('ekf' record family; gse gui_ekf feed)."""
+        stream filtered PVT ('ekf' record family; gse gui_ekf feed).
+        key_of maps a window t_ms to its alignment-independent dedup
+        key (see _navigate)."""
         from gnsstpu.nav.ekf import EkfConfig, NavEkf
 
         for m in sol.meas:
             t = m["t_ms"]
-            if t in self._ekf_fed_t:
+            if key_of(t) in self._ekf_fed_t:
                 continue
-            self._ekf_fed_t.add(t)
+            self._ekf_fed_t.add(key_of(t))
             if self.ekf is None:
                 # Seed from the matching LSQ epoch (first valid fix).
                 k = int(np.argmin(np.abs(sol.t_ms - t)))

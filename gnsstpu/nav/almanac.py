@@ -175,13 +175,19 @@ def decode_page(d: np.ndarray):
 
 def decode_pages(bits01: np.ndarray, d30_star: int = 0,
                  d29_star: int = 0
-                 ) -> Tuple[Dict[int, Almanac], Optional[IonoUtc]]:
+                 ) -> Tuple[Dict[int, Almanac], Optional[IonoUtc], int]:
     """Walk a bit stream (subframe-aligned) and collect almanacs + iono/UTC
-    from every parity-clean subframe 4/5 (ephemeris.cpp:425,314 role)."""
+    from every parity-clean subframe 4/5 (ephemeris.cpp:425,314 role).
+
+    Also returns the count of parity-clean subframes of ANY id, so a
+    caller can distinguish "stream decodes cleanly but the window holds
+    no subframe 4/5 pages yet" from "parity-degraded channel"."""
     alms: Dict[int, Almanac] = {}
     iu: Optional[IonoUtc] = None
+    n_clean = 0
     for _, sf_id, _, d in checked_subframes(bits01, d30_star,
                                             d29_star):
+        n_clean += 1
         if sf_id not in (4, 5):
             continue
         kind, obj = decode_page(d)
@@ -189,4 +195,4 @@ def decode_pages(bits01: np.ndarray, d30_star: int = 0,
             alms[obj.prn] = obj
         elif kind == "iono_utc":
             iu = obj
-    return alms, iu
+    return alms, iu, n_clean

@@ -704,11 +704,15 @@ class ChannelManager:
         # shifting the false-alarm calibration). The sliver between the
         # last fitting window and the next chunk's base is skipped —
         # honest, slightly slower integration beats double-counting.
+        # When the advance is shorter than ONE coherent window, no
+        # non-overlapping window fits at all — accumulating would
+        # re-admit the double-count, so the config is unsupported and
+        # the host full-buffer path takes over.
         adv = self._espc * self.sync_every
-        B_c = min(B, max(1, (adv - Lw) // L + 1))
-        if combine != "sum" or Lw > self._chunk_len:
+        if combine != "sum" or Lw > self._chunk_len or adv < Lw:
             self._acq_wk_fns = None
             return None
+        B_c = min(B, (adv - Lw) // L + 1)
         need = (B_c - 1) * L + Lw      # samples one accumulate reads
         fd_re, fd_im, grid_dev, fdma, K, D, spchip = self._acq_grid()
 
@@ -991,7 +995,12 @@ class ChannelManager:
             if not advanced:
                 break
             e += k
-        self._clock_epochs = e
+            # Commit the clock per superepoch, not on loop exit: if a
+            # later superepoch raises (device error, unrecoverable
+            # stall), the epochs already supervised must stay consumed
+            # — a retry run() must not re-issue their labels on new
+            # data (duplicate epoch_ms in records/history).
+            self._clock_epochs = e
         return self.records
 
     @property
@@ -1368,6 +1377,7 @@ class ChannelManager:
                         # acquisition results may repopulate the bank.
                         self._harvest(pend, next_base=self._cursor,
                                       alloc_ms=epoch_ms0)
+                        self._clock_epochs = e
                         pend = None
                         entry = True
                         continue
@@ -1386,6 +1396,7 @@ class ChannelManager:
                         self._cursor += k * espc
                         self._watchdog()
                         e += k
+                        self._clock_epochs = e   # nothing in flight
                         continue
                     entry = True
                 entry_rel = None
@@ -1472,6 +1483,11 @@ class ChannelManager:
                     self._harvest(pend, next_base=self._cursor,
                                   alloc_ms=(e + k) * self.epoch_ms,
                                   k_ahead=k)
+                    # Clock commits at HARVEST (when records/telemetry
+                    # for those epochs are actually emitted), so an
+                    # exception mid-pipeline never leaves emitted
+                    # labels ahead of the clock (see run()).
+                    self._clock_epochs = e
                 pend = cur
                 e += k
             if pend is not None:

@@ -247,9 +247,8 @@ class OnlineNavigator:
             if not sync.found:
                 continue
             bits = frame.bits_from(ip, sync, bit_len)
-            alms, iu = alm_mod.decode_pages(bits,
-                                            d30_star=sync.d30_star,
-                                            d29_star=sync.d29_star)
+            alms, iu, n_clean = alm_mod.decode_pages(
+                bits, d30_star=sync.d30_star, d29_star=sync.d29_star)
             new = sorted(p for p in alms if p not in self.almanac)
             self.almanac.update(alms)
             if iu is not None:
@@ -260,9 +259,17 @@ class OnlineNavigator:
                               iono_utc=self.iono_utc is not None)
             if alms or iu is not None:
                 break
-            # This stream frame-synced but yielded no pages (parity-
-            # degraded channel): try the next slot instead of starving
-            # almanac collection on slot order.
+            if n_clean >= 2:
+                # Stream decodes cleanly — the retained window simply
+                # holds no subframe 4/5 page yet. GPS frames are time-
+                # synchronous across satellites, so every other
+                # channel's window covers the SAME subframes: scanning
+                # more slots cannot find pages this poll, it only
+                # multiplies the host frame-sync cost by N channels.
+                break
+            # Frame-synced but nothing passed parity (degraded
+            # channel): try the next slot instead of starving almanac
+            # collection on slot order.
         # Warm-start visibility: almanac + last fix -> predicted-visible
         # set; the manager masks almanac-known-but-not-visible PRNs out
         # of its searches.

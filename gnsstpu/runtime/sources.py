@@ -808,8 +808,15 @@ class FileStreamProducer:
             wire = (blk.astype(np.float32).view(np.uint8).reshape(-1))
             pushed = False
             while not self._stop:
-                if self.fifo.push(wire, timeout_ms=1000) == 1:
+                rc = self.fifo.push(wire, timeout_ms=1000)
+                if rc == 1:
                     pushed = True
+                    break
+                if rc == -1:
+                    # FIFO closed by the consumer/teardown: permanent —
+                    # push returns -1 WITHOUT waiting, so retrying here
+                    # would busy-spin the daemon thread. Only 0
+                    # (timeout, consumer merely slow) is retried.
                     break
             if not pushed:
                 break

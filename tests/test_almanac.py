@@ -52,8 +52,9 @@ def test_almanac_page_roundtrip():
     pages = ([(5, alm_mod.almanac_page_words(a)) for a in alms.values()]
              + [(4, alm_mod.iono_utc_page_words(iu))])
     bits = encode_pages_stream(pages)
-    got_alms, got_iu = alm_mod.decode_pages(bits)
+    got_alms, got_iu, n_clean = alm_mod.decode_pages(bits)
     assert sorted(got_alms) == [1, 7, 24, 32]
+    assert n_clean == len(pages)
     for p, a in alms.items():
         g = got_alms[p]
         for field, lsb in [
@@ -86,8 +87,9 @@ def test_corrupted_page_rejected():
         [(5, alm_mod.almanac_page_words(make_almanac(9)))])
     bad = bits.copy()
     bad[100] ^= 1          # parity break in word 4
-    alms, _ = alm_mod.decode_pages(bad)
+    alms, _, n_clean = alm_mod.decode_pages(bad)
     assert 9 not in alms
+    assert n_clean == 0
 
 
 def test_almanac_visibility_warm_start():

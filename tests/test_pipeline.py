@@ -413,3 +413,62 @@ def test_device_resident_source_tracks():
     i5 = list(last.prn).index(5)
     assert abs(last.doppler_hz[i5] - 900.0) < 5.0
     assert last.cn0_dbhz[i5] > 40.0
+
+
+def test_weak_accumulation_refuses_sub_window_advance():
+    """When the superepoch ADVANCE is shorter than one coherent window
+    (adv < (coh+1)*spc), every chunk's window would reach into the next
+    chunk's samples and enter the noncoherent sum twice — inflating the
+    accumulated metric vs the false-alarm calibration. The accumulator
+    must refuse such configs (host full-buffer search takes over)
+    rather than double-count."""
+    sim = IFSimulator(SIG, SATS, noise_sigma=1.0, seed=3)
+    buf = np.asarray(sim.generate(120))
+    cfg = ReceiverConfig(
+        signal=SIG,
+        acq=AcqConfig(doppler_band=4e3, coherent_ms=10, noncoherent=15,
+                      threshold=1.8, prn_list=(5, 12),
+                      fine_doppler_ms=10, doppler_step=100.0),
+        track=TrackConfig(dll_bw=1.0),
+        n_channels=3,
+    )
+    mgr = ChannelManager(
+        ArraySource(buf), cfg, telemetry=Telemetry(sink=io.StringIO()),
+        epoch_ms=10, sync_every=1)
+    spc = SIG.samples_per_code
+    adv = mgr._espc * mgr.sync_every
+    assert adv < (cfg.acq.coherent_ms + 1) * spc   # the regime under test
+    assert mgr._make_acq_wk() is None
+    assert mgr._wk_step(None, 0, 10 ** 9)[0] == "unsupported"
+
+
+def test_clock_commits_per_superepoch_on_error():
+    """Epochs already supervised stay CONSUMED when a later superepoch
+    raises (device error, unrecoverable stall): clock_ms reflects the
+    committed work, and a retry run() continues with fresh labels —
+    never re-issuing already-emitted epoch_ms on new data."""
+    import pytest
+
+    sim = IFSimulator(SIG, SATS, noise_sigma=1.0, seed=4)
+    buf = np.asarray(sim.generate(1100))
+    mgr = ChannelManager(
+        ArraySource(buf), _cfg(), telemetry=Telemetry(sink=io.StringIO()),
+        epoch_ms=100, sync_every=2)
+    real = mgr._run_superepoch
+    done = []
+
+    def boom(e0, k):
+        if len(done) == 2:
+            raise RuntimeError("injected device failure")
+        done.append(e0)
+        return real(e0, k)
+
+    mgr._run_superepoch = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        mgr.run(800)
+    assert mgr.clock_ms == 400       # two 2-epoch superepochs committed
+    mgr._run_superepoch = real
+    recs = mgr.run(200)              # retry: picks up AFTER the commit
+    labels = [r.epoch_ms for r in recs]
+    assert len(labels) == len(set(labels))
+    assert max(labels) == 500

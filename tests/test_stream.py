@@ -442,3 +442,24 @@ def test_cli_listen_tcp_tracks():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_producer_exits_when_consumer_closes_fifo(tmp_path):
+    """A FileStreamProducer blocked on a full FIFO must EXIT (not
+    busy-spin) when the CONSUMER side closes the ring: fifo_push_wait
+    returns -1 without waiting once closed (ring_fifo.cpp:85), so the
+    lossless retry loop must treat -1 as permanent and only retry 0
+    (timeout). Before the fix the daemon thread spun at 100% CPU until
+    producer.stop() — which a consumer-teardown path never calls."""
+    path = tmp_path / "if.i8"
+    np.zeros(2048 * 400 * 2, np.int8).tofile(path)     # 400 ms i8 IQ
+    blk = SIG.samples_per_code
+    fifo = native.RingFifo(depth=4, block_bytes=blk * 8)
+    prod = FileStreamProducer(str(path), fifo, blk, fmt="i8_iq").start()
+    t0 = time.monotonic()
+    while (fifo.stats()["count"] < 4
+           and time.monotonic() - t0 < 5.0):
+        time.sleep(0.01)               # let it fill + block in push
+    fifo.close()                        # consumer teardown, NOT stop()
+    prod.thread.join(timeout=3.0)
+    assert not prod.thread.is_alive()
